@@ -1,0 +1,74 @@
+"""EngineConfig — the single frozen configuration object (SURVEY.md §5.6).
+
+Serialized into the on-disk index artifact so index and engine can never
+disagree about block size / sampling rate / conventions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Engine + index configuration.
+
+    Index-build parameters (baked into the artifact):
+      occ_block:  Occ checkpoint block size in bases. Must stay 128 —
+                  the device lattice layout (one 128-base block + its
+                  checkpoint row interleaved into one 64 B record,
+                  SURVEY.md §7.2) is hard-wired to it.
+      sa_rate:    suffix-array text-sampling rate s. Rows r with
+                  SA[r] % s == 0 are sampled; a locate LF-walk
+                  terminates in <= s steps.
+
+    Search parameters:
+      k:          max substitutions for inexact search (reference
+                  supports k <= 2).
+      max_hits:   per-read hit capacity H in device output arrays
+                  (fixed shape; overflow counted + logged, never silent
+                  — SURVEY.md §7.4).
+      max_cand:   per-read candidate capacity for seed-and-extend
+                  verify.
+
+    Batch geometry:
+      batch_size: reads per device batch (padded to this).
+      read_len:   read length L the batch arrays are padded to.
+
+    Distribution:
+      mesh_shape: (n_shard, n_data) device mesh; n_shard == 1 means the
+                  index is replicated (bacterial scale), n_shard > 1
+                  means interval-sharded (human scale).
+    """
+
+    occ_block: int = 128
+    sa_rate: int = 32
+    k: int = 2
+    max_hits: int = 16
+    max_cand: int = 32
+    batch_size: int = 1024
+    read_len: int = 100
+    mesh_shape: tuple[int, int] = (1, 1)
+
+    def __post_init__(self):
+        if self.occ_block != 128:
+            raise ValueError("occ_block is fixed at 128 by the lattice layout")
+        if self.sa_rate < 1:
+            raise ValueError("sa_rate must be >= 1")
+        if not (0 <= self.k <= 2):
+            raise ValueError("k must be in [0, 2]")
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["mesh_shape"] = list(d["mesh_shape"])
+        return json.dumps(d, sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "EngineConfig":
+        d = json.loads(s)
+        d["mesh_shape"] = tuple(d.get("mesh_shape", (1, 1)))
+        return cls(**d)
+
+    def replace(self, **kw) -> "EngineConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,27 @@
+"""Test configuration: force an 8-virtual-device CPU mesh (SURVEY.md §4.2).
+
+All tests run on CPU with XLA_FLAGS forcing 8 host devices, so every
+shard_map / collective code path is exercised without a pod slice; the
+same program runs unchanged on real TPU meshes. Pallas kernels run in
+interpret mode on CPU (the engine selects this automatically).
+
+Set BWTPU_TEST_TPU=1 to run the suite on the real chip instead.
+"""
+
+import os
+
+if not os.environ.get("BWTPU_TEST_TPU"):
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(12345)
