@@ -1,0 +1,372 @@
+"""Host-side FM-index construction and the HBM lattice layout.
+
+Layers L1/L2 (SURVEY.md §1, §3.1): suffix array -> BWT -> C table ->
+checkpointed Occ -> text-sampled SA, laid out for the device as int32
+lattices (SURVEY.md §7.2 "memory layout — the load-bearing decisions").
+
+Lattice layout (normative; the jnp twin and Pallas kernels both consume
+exactly this):
+
+  search_lattice : int32[n_blocks + 1, 16] — one 64 B record per
+      128-base BWT block j, so a rank query is ONE contiguous gather:
+        words  0..3   OccCk[j][c]: count of base c in BWT[0 : 128*j)
+                      (true counts; the '$' row is NOT counted as any
+                      base),
+        words  4..11  the block's 128 BWT bases, 2-bit packed LSB-first
+                      (base at block-local p -> word 4 + p//16, bits
+                      2*(p%16); the '$' row stores code 0 and is
+                      corrected at query time via dollar_row),
+        words 12..15  SA-sample mark bits (bit p of word 12 + p//32 set
+                      iff row 128*j + p is sampled, i.e. SA[row] %
+                      sa_rate == 0 — text sampling, SURVEY.md §3.3).
+      Row n_blocks is a terminator: full-text Occ counts, zero bits.
+
+  mark_rank_ck : int32[n_blocks + 1] — number of sampled rows < 128*j
+      (checkpointed rank over the mark bits; in-block rank is a popcount
+      of masked mark words).
+
+  ssa : int32[n_sampled] — SA values of sampled rows, in row order;
+      ssa[mark_rank(r)] == SA[r] for sampled r.
+
+  text_packed : int32[ceil(text_len/16)] — the 2-bit packed reference
+      text (no sentinel), for seed-and-extend verify (SURVEY.md §7.4).
+
+  C : int32[8] — C[v] = count of symbols < v over the 5-symbol alphabet
+      $=0 < A=1 < .. < T=4 (padded to 8).
+
+Shard length must stay < 2^31 so all device arithmetic is int32
+(SURVEY.md §7.2); global positions are resolved on host as
+shard_offset + local_pos in int64.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+
+from bwtpu import dna, sais
+from bwtpu.config import EngineConfig
+from bwtpu.io import Contig
+
+BLOCK = 128  # bases per Occ checkpoint block (fixed by the layout)
+REC_WORDS = 16  # int32 words per search-lattice record
+BWT_WORD0 = 4  # first packed-BWT word in a record
+MARK_WORD0 = 12  # first mark word in a record
+
+FORMAT_VERSION = 2
+
+
+def pack_2bit(codes: np.ndarray) -> np.ndarray:
+    """Pack base codes (0..3) into int32 words, 16 codes/word, LSB-first."""
+    n = len(codes)
+    n_words = (n + 15) // 16
+    padded = np.zeros(n_words * 16, dtype=np.uint32)
+    padded[:n] = codes.astype(np.uint32)
+    lanes = padded.reshape(n_words, 16)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, :]
+    words = np.bitwise_or.reduce(lanes << shifts, axis=1)
+    return words.astype(np.int64).astype(np.uint32).view(np.int32)
+
+
+def pack_bits(bits: np.ndarray) -> np.ndarray:
+    """Pack a bool array into int32 words, 32 bits/word, LSB-first."""
+    n = len(bits)
+    n_words = (n + 31) // 32
+    padded = np.zeros(n_words * 32, dtype=np.uint32)
+    padded[:n] = bits.astype(np.uint32)
+    lanes = padded.reshape(n_words, 32)
+    shifts = np.arange(32, dtype=np.uint32)[None, :]
+    words = np.bitwise_or.reduce(lanes << shifts, axis=1)
+    return words.astype(np.int64).astype(np.uint32).view(np.int32)
+
+
+@dataclasses.dataclass
+class FMIndex:
+    """One shard's FM-index, host-resident (NumPy); uploaded by the engine."""
+
+    config: EngineConfig
+    text_len: int  # bases in this shard's text
+    n: int  # text_len + 1 (BWT rows incl. '$')
+    dollar_row: int
+    C: np.ndarray  # int32[8]
+    search_lattice: np.ndarray  # int32[n_blocks+1, 16]
+    mark_rank_ck: np.ndarray  # int32[n_blocks+1]
+    ssa: np.ndarray  # int32[n_sampled]
+    text_packed: np.ndarray  # int32[ceil(text_len/16)]
+    contigs: list[Contig]
+    shard_offset: int = 0  # global position of this shard's base 0
+
+    @property
+    def n_blocks(self) -> int:
+        return (self.n + BLOCK - 1) // BLOCK
+
+
+def build_fm_index(
+    genome: str,
+    config: EngineConfig | None = None,
+    contigs: list[Contig] | None = None,
+    shard_offset: int = 0,
+    sa: np.ndarray | None = None,
+) -> FMIndex:
+    """Build one shard's FM-index from a (sanitized) genome string.
+
+    Call stack per SURVEY.md §3.1: read_fasta -> build_sa -> bwt_from_sa
+    -> build_c -> build_occ_checkpoints -> sample_sa -> lattice pack.
+    """
+    config = config or EngineConfig()
+    genome = dna.sanitize_genome(genome)
+    text_codes = dna.encode(genome)
+    text_len = len(text_codes)
+    if text_len >= 2**31 - 1:
+        raise ValueError(
+            f"shard too long for int32 rows ({text_len}); shard the genome "
+            "(build_sharded_index) so each interval stays < 2^31"
+        )
+    if contigs is None:
+        contigs = [Contig(name="ref", offset=0, length=text_len)]
+
+    # L1: suffix array over symbols (code+1) with 0 sentinel, then BWT.
+    symbols = np.empty(text_len + 1, dtype=np.uint8)
+    symbols[:text_len] = text_codes + 1
+    symbols[text_len] = 0
+    n = text_len + 1
+    if sa is None:
+        sa = sais.suffix_array(symbols)
+    bwt_sym = symbols[(sa - 1) % n]  # 0..4, exactly one 0 ('$')
+    dollar_row = int(np.nonzero(bwt_sym == 0)[0][0])
+
+    # L2: C table over the 5-symbol alphabet.
+    counts5 = np.bincount(bwt_sym, minlength=5)
+    C = np.zeros(8, dtype=np.int64)
+    C[1:5] = np.cumsum(counts5)[:4]
+    C = C.astype(np.int32)
+
+    # L2: checkpointed Occ + packed BWT, interleaved into the record.
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    bwt_codes = bwt_sym.astype(np.int64) - 1
+    bwt_codes[dollar_row] = 0  # '$' stored as code 0, corrected at query
+    padded = np.zeros(n_blocks * BLOCK, dtype=np.int64)
+    padded[:n] = bwt_codes
+
+    # Per-block per-base counts ('$' excluded from counts).
+    valid = np.ones(n_blocks * BLOCK, dtype=bool)
+    valid[n:] = False
+    valid[dollar_row] = False
+    block_idx = np.arange(n_blocks * BLOCK) // BLOCK
+    flat = (block_idx * 4 + padded)[valid]
+    per_block = np.bincount(flat, minlength=n_blocks * 4).reshape(n_blocks, 4)
+    occ_ck = np.zeros((n_blocks + 1, 4), dtype=np.int64)
+    occ_ck[1:] = np.cumsum(per_block, axis=0)
+
+    # L2: text-sampled SA (rows r with SA[r] % sa_rate == 0 are marked).
+    marked = (sa % config.sa_rate) == 0
+    ssa = sa[marked].astype(np.int32)
+    mark_rank_ck = np.zeros(n_blocks + 1, dtype=np.int64)
+    marked_padded = np.zeros(n_blocks * BLOCK, dtype=bool)
+    marked_padded[:n] = marked
+    mark_rank_ck[1:] = np.cumsum(
+        marked_padded.reshape(n_blocks, BLOCK).sum(axis=1)
+    )
+
+    # Assemble the 16-word records.
+    lattice = np.zeros((n_blocks + 1, REC_WORDS), dtype=np.int32)
+    lattice[:, 0:4] = occ_ck.astype(np.int32)
+    bwt_words = pack_2bit(padded.astype(np.uint8)).reshape(n_blocks, 8)
+    lattice[:n_blocks, BWT_WORD0 : BWT_WORD0 + 8] = bwt_words
+    mark_words = pack_bits(marked_padded).reshape(n_blocks, 4)
+    lattice[:n_blocks, MARK_WORD0 : MARK_WORD0 + 4] = mark_words
+
+    return FMIndex(
+        config=config,
+        text_len=text_len,
+        n=n,
+        dollar_row=dollar_row,
+        C=C,
+        search_lattice=lattice,
+        mark_rank_ck=mark_rank_ck.astype(np.int32),
+        ssa=ssa,
+        text_packed=pack_2bit(text_codes),
+        contigs=contigs,
+        shard_offset=shard_offset,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side reference queries against the lattice (used by tests to pin the
+# layout independently of the device code).
+# ---------------------------------------------------------------------------
+
+
+def host_occ(idx: FMIndex, c: int, i: int) -> int:
+    """Occ(base c, i) computed from the packed lattice (layout oracle)."""
+    j, m = divmod(i, BLOCK)
+    rec = idx.search_lattice[j]
+    count = int(rec[c])
+    words = rec[BWT_WORD0 : BWT_WORD0 + 8].view(np.uint32)
+    for p in range(m):
+        base = (int(words[p // 16]) >> (2 * (p % 16))) & 3
+        if base == c:
+            count += 1
+    if c == 0 and (idx.dollar_row // BLOCK) == j and idx.dollar_row < i:
+        count -= 1
+    return count
+
+
+def host_sa_lookup(idx: FMIndex, r: int) -> tuple[bool, int]:
+    """(is r sampled, ssa index if sampled) from mark bits + rank ck."""
+    j, m = divmod(r, BLOCK)
+    rec = idx.search_lattice[j]
+    words = rec[MARK_WORD0 : MARK_WORD0 + 4].view(np.uint32)
+    bit = (int(words[m // 32]) >> (m % 32)) & 1
+    rank = int(idx.mark_rank_ck[j])
+    for p in range(m):
+        rank += (int(words[p // 32]) >> (p % 32)) & 1
+    return bool(bit), rank
+
+
+# ---------------------------------------------------------------------------
+# Sharding (SURVEY.md §2.3 "index sharding", §7.5)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ShardManifest:
+    """Describes how the concatenated genome is split into intervals.
+
+    Shards overlap by `overlap` bases so a read (len <= overlap) lying
+    across an interval boundary is fully contained in at least one
+    shard; duplicate hits in overlaps are deduped at merge time on
+    global position.
+    """
+
+    total_len: int
+    overlap: int
+    starts: list[int]  # global start of each shard's text
+    lengths: list[int]
+    contigs: list[Contig]
+
+    @property
+    def n_shards(self) -> int:
+        return len(self.starts)
+
+
+def plan_shards(total_len: int, n_shards: int, overlap: int) -> ShardManifest:
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    base = -(-total_len // n_shards)  # ceil
+    starts, lengths = [], []
+    for s in range(n_shards):
+        start = s * base
+        end = min(total_len, (s + 1) * base + overlap)
+        start = min(start, max(0, total_len - 1))
+        lengths.append(max(0, end - start))
+        starts.append(start)
+    return ShardManifest(
+        total_len=total_len, overlap=overlap, starts=starts, lengths=lengths,
+        contigs=[],
+    )
+
+
+def build_sharded_index(
+    genome: str,
+    n_shards: int,
+    config: EngineConfig | None = None,
+    contigs: list[Contig] | None = None,
+    overlap: int = 256,
+) -> tuple[list[FMIndex], ShardManifest]:
+    """Split the genome into overlapping intervals, one FM-index each."""
+    config = config or EngineConfig()
+    genome = dna.sanitize_genome(genome)
+    if contigs is None:
+        contigs = [Contig(name="ref", offset=0, length=len(genome))]
+    manifest = plan_shards(len(genome), n_shards, overlap)
+    manifest.contigs = contigs
+    shards = []
+    for start, length in zip(manifest.starts, manifest.lengths):
+        shards.append(
+            build_fm_index(
+                genome[start : start + length],
+                config=config,
+                contigs=contigs,
+                shard_offset=start,
+            )
+        )
+    return shards, manifest
+
+
+# ---------------------------------------------------------------------------
+# On-disk artifact (SURVEY.md §5.4 checkpoint/resume: the index IS the
+# checkpoint; versioned so engine and index cannot disagree).
+# ---------------------------------------------------------------------------
+
+
+def save_index(path: str, shards: list[FMIndex], manifest: ShardManifest):
+    os.makedirs(path, exist_ok=True)
+    meta = {
+        "format_version": FORMAT_VERSION,
+        "config": shards[0].config.to_json(),
+        "n_shards": len(shards),
+        "manifest": {
+            "total_len": manifest.total_len,
+            "overlap": manifest.overlap,
+            "starts": manifest.starts,
+            "lengths": manifest.lengths,
+        },
+        "contigs": [
+            {"name": c.name, "offset": c.offset, "length": c.length}
+            for c in manifest.contigs
+        ],
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    for i, sh in enumerate(shards):
+        np.savez(
+            os.path.join(path, f"shard{i}.npz"),
+            text_len=sh.text_len,
+            n=sh.n,
+            dollar_row=sh.dollar_row,
+            C=sh.C,
+            search_lattice=sh.search_lattice,
+            mark_rank_ck=sh.mark_rank_ck,
+            ssa=sh.ssa,
+            text_packed=sh.text_packed,
+            shard_offset=sh.shard_offset,
+        )
+
+
+def load_index(path: str) -> tuple[list[FMIndex], ShardManifest]:
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    if meta["format_version"] != FORMAT_VERSION:
+        raise ValueError(
+            f"index format v{meta['format_version']} != engine v{FORMAT_VERSION}; rebuild"
+        )
+    config = EngineConfig.from_json(meta["config"])
+    contigs = [Contig(**c) for c in meta["contigs"]]
+    m = meta["manifest"]
+    manifest = ShardManifest(
+        total_len=m["total_len"], overlap=m["overlap"], starts=m["starts"],
+        lengths=m["lengths"], contigs=contigs,
+    )
+    shards = []
+    for i in range(meta["n_shards"]):
+        z = np.load(os.path.join(path, f"shard{i}.npz"))
+        shards.append(
+            FMIndex(
+                config=config,
+                text_len=int(z["text_len"]),
+                n=int(z["n"]),
+                dollar_row=int(z["dollar_row"]),
+                C=z["C"],
+                search_lattice=z["search_lattice"],
+                mark_rank_ck=z["mark_rank_ck"],
+                ssa=z["ssa"],
+                text_packed=z["text_packed"],
+                contigs=contigs,
+                shard_offset=int(z["shard_offset"]),
+            )
+        )
+    return shards, manifest
