@@ -1,0 +1,118 @@
+"""Shared device-side helpers over the int32 lattice layout.
+
+The layout contract lives in bwtpu/index.py; these helpers are the only
+place device code decodes it, so the jnp twins and Pallas kernels can't
+drift from each other.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+BLOCK = 128
+LOG2_BLOCK = 7
+REC_WORDS = 16
+BWT_WORD0 = 4
+MARK_WORD0 = 12
+
+
+def popcount32(x: jnp.ndarray) -> jnp.ndarray:
+    """SWAR popcount of int32/uint32 words -> int32 counts."""
+    x = x.astype(jnp.uint32)
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((x * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def unpack_block_codes(bwt_words: jnp.ndarray) -> jnp.ndarray:
+    """(..., 8) packed int32 words -> (..., 128) 2-bit base codes.
+
+    Arithmetic right shift is safe: `& 3` keeps only the two original
+    bits for every shift amount (0..30).
+    """
+    rep = jnp.repeat(bwt_words, 16, axis=-1)  # (..., 128)
+    shifts = (2 * (np.arange(BLOCK) % 16)).astype(np.int32)
+    return (rep >> shifts) & 3
+
+
+def block_rank(
+    bwt_words: jnp.ndarray, c: jnp.ndarray, m: jnp.ndarray
+) -> jnp.ndarray:
+    """Count of base `c` among the first `m` bases of each 128-base block.
+
+    bwt_words: (..., 8) int32; c, m: (...,) int32. Returns (...,) int32.
+    """
+    codes = unpack_block_codes(bwt_words)  # (..., 128)
+    lane = np.arange(BLOCK, dtype=np.int32)
+    hit = (codes == c[..., None]) & (lane < m[..., None])
+    return jnp.sum(hit, axis=-1).astype(jnp.int32)
+
+
+def occ(
+    lattice: jnp.ndarray,
+    dollar_row: jnp.ndarray,
+    c: jnp.ndarray,
+    i: jnp.ndarray,
+) -> jnp.ndarray:
+    """Batched Occ(c, i) = count of base c in BWT[0:i).
+
+    lattice: (n_blocks+1, 16) int32; c, i: (B,) int32. One gather of a
+    64 B record per query + VPU in-block rank, exactly as the Pallas
+    kernel does it (SURVEY.md §3.2).
+    """
+    j = i >> LOG2_BLOCK
+    m = i & (BLOCK - 1)
+    rec = jnp.take(lattice, j, axis=0)  # (B, 16)
+    ck = jnp.take_along_axis(rec[:, 0:4], c[:, None], axis=1)[:, 0]
+    inblk = block_rank(rec[:, BWT_WORD0 : BWT_WORD0 + 8], c, m)
+    corr = ((c == 0) & ((dollar_row >> LOG2_BLOCK) == j) & (dollar_row < i)).astype(
+        jnp.int32
+    )
+    return ck + inblk - corr
+
+
+def bwt_code_at(rec: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Base code stored at block-local position m of each record (B, 16)."""
+    word = jnp.take_along_axis(
+        rec[:, BWT_WORD0 : BWT_WORD0 + 8], (m >> 4)[:, None], axis=1
+    )[:, 0]
+    return (word >> (2 * (m & 15))) & 3
+
+
+def mark_bit_and_rank(rec: jnp.ndarray, m: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(is-sampled bit, in-block mark rank) at block-local position m.
+
+    rec: (B, 16) records; m: (B,). Rank counts set mark bits strictly
+    below m within the block.
+    """
+    words = rec[:, MARK_WORD0 : MARK_WORD0 + 4]  # (B, 4)
+    bit_word = jnp.take_along_axis(words, (m >> 5)[:, None], axis=1)[:, 0]
+    bit = (bit_word >> (m & 31)) & 1
+    # mask of bits below m per word k: low clip(m - 32k, 0, 32) bits
+    k32 = np.arange(4, dtype=np.int32) * 32
+    nbits = jnp.clip(m[:, None] - k32, 0, 32)  # (B, 4)
+    full = jnp.uint32(0xFFFFFFFF)
+    masks = jnp.where(
+        nbits >= 32, full, (jnp.uint32(1) << nbits.astype(jnp.uint32)) - 1
+    )
+    rank = jnp.sum(popcount32(words.astype(jnp.uint32) & masks), axis=1)
+    return bit.astype(jnp.int32), rank.astype(jnp.int32)
+
+
+def reverse_complement_reads(
+    codes: jnp.ndarray, amb: jnp.ndarray, lens: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Reverse-complement left-aligned padded reads, keeping left alignment.
+
+    codes: (B, L) int32 base codes; amb: (B, L) int32 0/1 ambiguous
+    mask; lens: (B,) valid lengths.
+    """
+    L = codes.shape[1]
+    idx = lens[:, None] - 1 - np.arange(L, dtype=np.int32)[None, :]
+    safe = jnp.clip(idx, 0, L - 1)
+    rc = 3 - jnp.take_along_axis(codes, safe, axis=1)
+    ra = jnp.take_along_axis(amb, safe, axis=1)
+    pad = idx < 0
+    return jnp.where(pad, 0, rc), jnp.where(pad, 0, ra)

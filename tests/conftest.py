@@ -11,12 +11,21 @@ Set BWTPU_TEST_TPU=1 to run the suite on the real chip instead.
 import os
 
 if not os.environ.get("BWTPU_TEST_TPU"):
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # Force CPU even if the ambient environment selects the TPU platform
+    # (e.g. JAX_PLATFORMS=axon): running the unit suite over the TPU
+    # tunnel turns every op into a remote RPC.
+    os.environ["JAX_PLATFORMS"] = "cpu"
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + " --xla_force_host_platform_device_count=8"
         ).strip()
+    # The container's sitecustomize pre-registers the axon TPU plugin and
+    # re-exports JAX_PLATFORMS=axon at interpreter start; the config
+    # update below out-ranks it.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

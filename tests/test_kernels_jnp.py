@@ -1,0 +1,159 @@
+"""Device-kernel (jnp twin) unit tests against the golden model."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bwtpu import dna
+from bwtpu.config import EngineConfig
+from bwtpu.engine import upload_index
+from bwtpu.golden import GoldenFMIndex
+from bwtpu.index import build_fm_index
+from bwtpu.kernels import common
+from bwtpu.kernels.locate import locate_rows
+from bwtpu.kernels.search import backward_search, interval_rows
+from bwtpu.kernels.verify import NM_INVALID, dedupe_sorted, verify_candidates
+from bwtpu.simulate import random_genome
+
+
+@pytest.fixture(scope="module")
+def setup():
+    genome = random_genome(2000, seed=21)
+    golden = GoldenFMIndex(genome)
+    idx = build_fm_index(genome, EngineConfig(sa_rate=8))
+    dev = upload_index([idx])
+    return genome, golden, idx, dev
+
+
+def test_popcount32():
+    x = np.array([0, 1, 0xFFFFFFFF, 0x80000000, 0x12345678], dtype=np.uint32)
+    got = np.asarray(common.popcount32(jnp.asarray(x.view(np.int32))))
+    expected = [bin(v).count("1") for v in x]
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_occ_batched_matches_golden(setup):
+    genome, golden, idx, dev = setup
+    rng = np.random.default_rng(0)
+    i = rng.integers(0, idx.n + 1, size=500).astype(np.int32)
+    c = rng.integers(0, 4, size=500).astype(np.int32)
+    got = np.asarray(
+        common.occ(dev.lattice[0], dev.dollar_row[0], jnp.asarray(c), jnp.asarray(i))
+    )
+    expected = np.array([golden.occ[cc + 1][ii] for cc, ii in zip(c, i)])
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_backward_search_matches_golden(setup):
+    genome, golden, idx, dev = setup
+    rng = np.random.default_rng(1)
+    B, L = 64, 30
+    codes = np.zeros((B, L), dtype=np.int32)
+    amb = np.zeros((B, L), dtype=np.int32)
+    lens = np.zeros(B, dtype=np.int32)
+    g = dna.encode(genome)
+    for b in range(B):
+        ln = int(rng.integers(5, L + 1))
+        start = int(rng.integers(0, len(genome) - ln))
+        pat = g[start : start + ln].copy()
+        if b % 4 == 0:  # mutate — often absent
+            pat[rng.integers(0, ln)] = rng.integers(0, 4)
+        if b % 7 == 0:  # ambiguous base -> must return empty
+            amb[b, rng.integers(0, ln)] = 1
+        codes[b, :ln] = pat
+        lens[b] = ln
+    sp, ep = backward_search(
+        dev.lattice[0], dev.C[0], dev.dollar_row[0], dev.n[0],
+        jnp.asarray(codes), jnp.asarray(amb), jnp.asarray(lens),
+    )
+    sp, ep = np.asarray(sp), np.asarray(ep)
+    for b in range(B):
+        gsp, gep = golden.backward_search(
+            codes[b, : lens[b]], amb[b, : lens[b]].astype(bool)
+        )
+        width = max(0, gep - gsp)
+        assert max(0, ep[b] - sp[b]) == width, b
+        if width:
+            assert (sp[b], ep[b]) == (gsp, gep), b
+
+
+def test_locate_rows_matches_golden(setup):
+    genome, golden, idx, dev = setup
+    rng = np.random.default_rng(2)
+    rows = rng.integers(0, idx.n, size=300).astype(np.int32)
+    valid = rng.random(300) < 0.9
+    got = np.asarray(
+        locate_rows(
+            dev.lattice[0], dev.mark_rank_ck[0], dev.ssa[0], dev.C[0],
+            dev.dollar_row[0], jnp.asarray(rows), jnp.asarray(valid),
+            sa_rate=8,
+        )
+    )
+    for r, v, p in zip(rows, valid, got):
+        assert p == (int(golden.sa[r]) if v else -1)
+
+
+def test_interval_rows_overflow():
+    sp = jnp.asarray(np.array([5, 0], dtype=np.int32))
+    ep = jnp.asarray(np.array([12, 0], dtype=np.int32))
+    rows, valid, overflow = interval_rows(sp, ep, max_hits=4)
+    np.testing.assert_array_equal(np.asarray(rows)[0], [5, 6, 7, 8])
+    np.testing.assert_array_equal(np.asarray(valid)[0], [True] * 4)
+    np.testing.assert_array_equal(np.asarray(valid)[1], [False] * 4)
+    np.testing.assert_array_equal(np.asarray(overflow), [3, 0])
+
+
+def test_verify_candidates_matches_hamming(setup):
+    genome, golden, idx, dev = setup
+    rng = np.random.default_rng(3)
+    g = dna.encode(genome)
+    B, Cm, L = 16, 8, 40
+    codes = np.zeros((B, L), dtype=np.int32)
+    amb = np.zeros((B, L), dtype=np.int32)
+    lens = np.full(B, L, dtype=np.int32)
+    cand = rng.integers(-5, len(genome), size=(B, Cm)).astype(np.int32)
+    cvalid = rng.random((B, Cm)) < 0.8
+    for b in range(B):
+        start = int(rng.integers(0, len(genome) - L))
+        codes[b] = g[start : start + L]
+        if b % 3 == 0:
+            amb[b, rng.integers(0, L)] = 1
+        cand[b, 0] = start  # one known-good candidate
+    nm = np.asarray(
+        verify_candidates(
+            dev.text_packed[0], dev.text_len[0], jnp.asarray(cand),
+            jnp.asarray(cvalid), jnp.asarray(codes), jnp.asarray(amb),
+            jnp.asarray(lens),
+        )
+    )
+    for b in range(B):
+        for ci in range(Cm):
+            p = int(cand[b, ci])
+            if not cvalid[b, ci] or p < 0 or p + L > len(genome):
+                assert nm[b, ci] == NM_INVALID
+            else:
+                expected = int(
+                    np.sum((g[p : p + L] != codes[b]) | amb[b].astype(bool))
+                )
+                assert nm[b, ci] == expected
+
+
+def test_dedupe_sorted():
+    cand = jnp.asarray(np.array([[5, 3, 5, 9, 3], [1, 1, 1, 1, 1]], dtype=np.int32))
+    valid = jnp.asarray(
+        np.array([[1, 1, 1, 1, 0], [1, 1, 0, 1, 1]], dtype=bool)
+    )
+    c, v = dedupe_sorted(cand, valid)
+    c, v = np.asarray(c), np.asarray(v)
+    assert list(c[0][v[0]]) == [3, 5, 9]
+    assert list(c[1][v[1]]) == [1]
+
+
+def test_reverse_complement_reads():
+    codes = jnp.asarray(np.array([[0, 1, 2, 3, 0, 0]], dtype=np.int32))  # ACGT--
+    amb = jnp.asarray(np.array([[0, 1, 0, 0, 0, 0]], dtype=np.int32))
+    lens = jnp.asarray(np.array([4], dtype=np.int32))
+    rc, ra = common.reverse_complement_reads(codes, amb, lens)
+    # revcomp(ACGT) = ACGT; mask moves from index 1 to index 2
+    np.testing.assert_array_equal(np.asarray(rc)[0], [0, 1, 2, 3, 0, 0])
+    np.testing.assert_array_equal(np.asarray(ra)[0], [0, 0, 1, 0, 0, 0])
