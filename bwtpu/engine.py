@@ -257,11 +257,18 @@ class Engine:
         codes = np.zeros((Bp, L), dtype=np.int32)
         amb = np.zeros((Bp, L), dtype=np.int32)
         lens = np.zeros(Bp, dtype=np.int32)
-        for i, r in enumerate(reads):
-            c, m = dna.encode_with_mask(r.seq)
-            codes[i, : len(c)] = c
-            amb[i, : len(c)] = m
-            lens[i] = len(c)
+        if reads and all(len(r.seq) == L for r in reads):
+            # uniform-length fast path: one bulk decode
+            c, m = dna.encode_with_mask("".join(r.seq for r in reads))
+            codes[:B] = c.reshape(B, L)
+            amb[:B] = m.reshape(B, L)
+            lens[:B] = L
+        else:
+            for i, r in enumerate(reads):
+                c, m = dna.encode_with_mask(r.seq)
+                codes[i, : len(c)] = c
+                amb[i, : len(c)] = m
+                lens[i] = len(c)
         codes = jnp.asarray(codes)
         amb = jnp.asarray(amb)
         lens = jnp.asarray(lens)
