@@ -8,8 +8,10 @@ and extrapolated.
 
 Config: E. coli-scale (4.6 Mbp) random genome, 100 bp simulated reads,
 both strands, replicated index, one chip (BASELINE configs 1-2).
-Device throughput is measured on the compiled pipeline with
-block_until_ready walls (SURVEY.md §5.1).
+Device throughput is measured on the compiled v2 pipelines with every
+output materialized to host and distinct pre-staged batches — repeated
+identical dispatches get served from caches along the relay path and
+overstate throughput by orders of magnitude (measured; docs/DESIGN.md).
 """
 
 from __future__ import annotations
@@ -23,67 +25,70 @@ import numpy as np
 
 def main():
     import jax
-    import jax.numpy as jnp
 
-    from bwtpu import dna
     from bwtpu.config import EngineConfig
-    from bwtpu.engine import (Engine, exact_pipeline, inexact_pipeline,
-                              upload_index)
+    from bwtpu.engine import (encode_batch, exact_pipeline, inexact_pipeline,
+                              pick_kmer_depth, upload_index)
     from bwtpu.golden import GoldenFMIndex
     from bwtpu.index import build_fm_index
     from bwtpu.simulate import ECOLI_SCALE, random_genome, simulate_reads
 
-    t_setup0 = time.time()
-    # sa_rate=8: locate walk length dominates gather-row count (see
-    # docs/DESIGN.md); trading 0.5 B/base of ssa memory for 4x fewer
-    # locate rows is the right call at bacterial scale.
+    t0_all = time.time()
+    timings = {}
+    # sa_rate=8: locate rows dominate otherwise (docs/DESIGN.md)
     cfg = EngineConfig(sa_rate=8, max_hits=4, max_cand=8, read_len=100)
     genome = random_genome(ECOLI_SCALE, seed=1)
+    t0 = time.time()
     idx = build_fm_index(genome, cfg)
+    timings["index_build_s"] = round(time.time() - t0, 1)
     dev = upload_index([idx])
+    shard0 = jax.tree.map(lambda x: x[0], dev.shard)
+    depths = sorted(idx.kmer_tables)
 
-    B = 8192  # reads per device call (2B strand rows)
-    shim = type("S", (), {"config": cfg})()
-    # Distinct pre-staged device-resident batches, and every output is
-    # materialized to host: repeated identical dispatches can otherwise
-    # be served from caches along the relay path and overstate
-    # throughput by orders of magnitude (measured).
+    B = 8192
+    t0 = time.time()
     n_batches = 4
-    batches = []
+    encs = []
     reads = None
     for i in range(n_batches):
         rds, _ = simulate_reads(genome, B, read_len=100, max_mismatches=2,
                                 seed=2 + i)
         reads = reads or rds
-        enc = Engine.encode_batch(shim, rds)[:3]
-        batches.append(tuple(jax.device_put(x) for x in enc))
-
-    base = (dev.lattice[0], dev.mark_rank_ck[0], dev.ssa[0], dev.C[0],
-            dev.dollar_row[0], dev.n[0])
+        enc, _ = encode_batch(cfg, rds, k=2)
+        encs.append(jax.tree.map(
+            lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x, enc
+        ))
+    timings["encode_upload_s"] = round(time.time() - t0, 1)
 
     # --- exact (config 1) ---
+    d = pick_kmer_depth(depths, 100)
     fx = jax.jit(functools.partial(
-        exact_pipeline, max_hits=cfg.max_hits, sa_rate=cfg.sa_rate,
-        backend="jnp"))
-    np.asarray(fx(*base, *batches[0])[0])  # compile + warm
+        exact_pipeline, d=d, max_hits=cfg.max_hits, sa_rate=cfg.sa_rate,
+        loc_factor=cfg.loc_factor))
+    np.asarray(fx(shard0, encs[0].ra_codes, encs[0].ra_amb, encs[0].lens)[0])
     t0 = time.time()
-    for i in range(n_batches):
-        np.asarray(fx(*base, *batches[i])[0])
+    for e in encs:
+        np.asarray(fx(shard0, e.ra_codes, e.ra_amb, e.lens)[0])
     exact_rps = B * n_batches / (time.time() - t0)
 
     # --- inexact k=2 (config 2) ---
+    d_seed = pick_kmer_depth(depths, 100 // 3)
     fi = jax.jit(functools.partial(
-        inexact_pipeline, k=2, max_loc=cfg.max_cand, sa_rate=cfg.sa_rate,
-        backend="jnp"))
-    ibase = base + (dev.text_len[0], dev.text_packed[0])
-    np.asarray(fi(*ibase, *batches[0])[0])  # compile + warm
+        inexact_pipeline, k=2, d=d_seed, max_loc=cfg.max_cand,
+        sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor))
+    np.asarray(fi(shard0, encs[0].seed_ra, encs[0].seed_amb, encs[0].seed_lens,
+                  encs[0].seed_off, encs[0].read_words, encs[0].amb_bits,
+                  encs[0].len_mask, encs[0].lens)[1])
     t0 = time.time()
-    for i in range(n_batches):
-        np.asarray(fi(*ibase, *batches[i])[0])
+    for e in encs:
+        np.asarray(fi(shard0, e.seed_ra, e.seed_amb, e.seed_lens, e.seed_off,
+                      e.read_words, e.amb_bits, e.len_mask, e.lens)[1])
     k2_rps = B * n_batches / (time.time() - t0)
 
     # --- CPU reference (golden, interpreted walks) on a sample ---
+    t0 = time.time()
     golden = GoldenFMIndex(genome)
+    timings["golden_build_s"] = round(time.time() - t0, 1)
     sample = reads[:20]
     t0 = time.time()
     for r in sample:
@@ -94,22 +99,21 @@ def main():
         golden.align_read(r.seq, k=2)
     cpu_k2_rps = 5 / (time.time() - t0)
 
-    value = exact_rps
-    vs = exact_rps / cpu_exact_rps
-    platform = jax.devices()[0].platform
     print(json.dumps({
         "metric": "reads/s/chip exact 100bp E.coli-scale (both strands)",
-        "value": round(value, 1),
+        "value": round(exact_rps, 1),
         "unit": "reads/s",
-        "vs_baseline": round(vs, 1),
+        "vs_baseline": round(exact_rps / cpu_exact_rps, 1),
         "extras": {
             "k2_reads_per_s": round(k2_rps, 1),
             "cpu_ref_exact_reads_per_s": round(cpu_exact_rps, 2),
             "cpu_ref_k2_reads_per_s": round(cpu_k2_rps, 2),
             "k2_vs_baseline": round(k2_rps / cpu_k2_rps, 1),
-            "platform": platform,
+            "kmer_d": d,
+            "platform": jax.devices()[0].platform,
             "batch_reads": B,
-            "setup_s": round(time.time() - t_setup0, 1),
+            "total_s": round(time.time() - t0_all, 1),
+            **timings,
         },
     }))
 

@@ -50,6 +50,14 @@ class EngineConfig:
     batch_size: int = 1024
     read_len: int = 100
     mesh_shape: tuple[int, int] = (1, 1)
+    # Compaction capacity factor: locate/verify stages run on at most
+    # loc_factor * batch_rows compacted lanes (overflow is counted and
+    # logged, never silent). Raise for degenerate many-hit workloads.
+    loc_factor: int = 2
+    # k-mer start table depth d: one lookup replaces the first d chained
+    # backward-search steps (docs/DESIGN.md). 0 = disabled; None = auto
+    # (chosen from genome size at index build: ~log4(n), capped at 12).
+    kmer_d: int | None = None
 
     def __post_init__(self):
         if self.occ_block != 128:

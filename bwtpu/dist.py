@@ -25,18 +25,21 @@ hops ride ICI.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
+import logging
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from bwtpu.engine import (DeviceIndexSet, exact_pipeline, inexact_pipeline,
+from bwtpu.engine import (DeviceIndexSet, assemble_hits, encode_batch,
+                          exact_pipeline, inexact_pipeline, pick_kmer_depth,
                           upload_index)
-from bwtpu.golden import Hit, sort_hits
+from bwtpu.golden import Hit
 from bwtpu.index import FMIndex, ShardManifest
+from bwtpu.kernels.verify2 import NM_INVALID
+
+log = logging.getLogger(__name__)
 
 
 def make_mesh(n_shard: int, n_data: int, devices=None) -> Mesh:
@@ -48,102 +51,124 @@ def make_mesh(n_shard: int, n_data: int, devices=None) -> Mesh:
     return Mesh(dev_array, ("shard", "data"))
 
 
-def _ring_step_perm(S: int):
-    return [(i, (i + 1) % S) for i in range(S)]
-
-
 def build_ring_align(
     mesh: Mesh,
     *,
     k: int,
+    d: int,
     max_hits: int,
     max_cand: int,
     sa_rate: int,
+    loc_factor: int = 2,
     backend: str = "jnp",
 ):
     """Compile the ring-rotation align step over the mesh.
 
-    Returns fn(index_arrays..., codes, amb, lens) ->
-      exact:   (pos [B, S, H], valid [B, S, H], overflow [B, S])
-      inexact: (cand [B, S, Ct], nm [B, S, Ct], valid [B, S, Ct],
-                overflow [B, S])
-    where B is the global batch (both strands already stacked), S the
-    shard count, and slot s of axis 1 holds hits against shard s.
+    exact (k==0): fn(shard_tree, ra_codes, ra_amb, lens) ->
+        (pos [B2, S, H], valid, overflow [B2, S], loc_over [S])
+    inexact:      fn(shard_tree, seed..., packed reads..., lens) ->
+        (cand [B2, S, Ct], nm, valid, overflow [B2, S], loc/ver over)
+    Slot s of axis 1 holds hits against shard s.
     """
     S = mesh.shape["shard"]
-    perm = _ring_step_perm(S)
+    perm = [(i, (i + 1) % S) for i in range(S)]
 
-    def fn(lattice, mark_ck, ssa, C, dollar, n, tlen, tpacked, codes, amb, lens):
-        # locals: lattice (1, ...) — this device's shard; codes (b, L).
-        lattice, mark_ck, ssa = lattice[0], mark_ck[0], ssa[0]
-        C, dollar, n = C[0], dollar[0], n[0]
-        tlen, tpacked = tlen[0], tpacked[0]
-        my_shard = jax.lax.axis_index("shard")
-        b = codes.shape[0]
+    def rotate(xs):
+        return tuple(jax.lax.ppermute(x, "shard", perm) for x in xs)
 
-        if k == 0:
-            hits_pos = jnp.zeros((b, S, max_hits), jnp.int32)
-            hits_valid = jnp.zeros((b, S, max_hits), jnp.bool_)
-            over = jnp.zeros((b, S), jnp.int32)
-            carry = (codes, amb, lens, hits_pos, hits_valid, over)
+    if k == 0:
+
+        def fn(shard, ra_codes, ra_amb, lens):
+            shard = jax.tree.map(lambda x: x[0], shard)
+            my_shard = jax.lax.axis_index("shard")
+            b = ra_codes.shape[0]
+            hp = jnp.zeros((b, S, max_hits), jnp.int32)
+            hv = jnp.zeros((b, S, max_hits), jnp.bool_)
+            ov = jnp.zeros((b, S), jnp.int32)
+            lo = jnp.zeros((1, S), jnp.int32)
 
             def body(_, carry):
-                codes, amb, lens, hp, hv, ov = carry
-                pos, valid, overflow = exact_pipeline(
-                    lattice, mark_ck, ssa, C, dollar, n, codes, amb, lens,
-                    max_hits=max_hits, sa_rate=sa_rate, backend=backend,
+                ra_codes, ra_amb, lens, hp, hv, ov, lo = carry
+                pos, valid, overflow, loc_over = exact_pipeline(
+                    shard, ra_codes, ra_amb, lens,
+                    d=d, max_hits=max_hits, sa_rate=sa_rate,
+                    loc_factor=loc_factor, backend=backend,
                 )
-                hp = jax.lax.dynamic_update_index_in_dim(hp, pos, my_shard, 1)
-                hv = jax.lax.dynamic_update_index_in_dim(hv, valid, my_shard, 1)
-                ov = jax.lax.dynamic_update_index_in_dim(ov, overflow, my_shard, 1)
-                return tuple(
-                    jax.lax.ppermute(x, "shard", perm)
-                    for x in (codes, amb, lens, hp, hv, ov)
-                )
+                upd = jax.lax.dynamic_update_index_in_dim
+                hp = upd(hp, pos, my_shard, 1)
+                hv = upd(hv, valid, my_shard, 1)
+                ov = upd(ov, overflow, my_shard, 1)
+                lo = upd(lo, loc_over[None], my_shard, 1)
+                return rotate((ra_codes, ra_amb, lens, hp, hv, ov, lo))
 
-            codes, amb, lens, hp, hv, ov = jax.lax.fori_loop(0, S, body, carry)
-            return hp, hv, ov
-        else:
-            Ct = (k + 1) * max_cand
+            ra_codes, ra_amb, lens, hp, hv, ov, lo = jax.lax.fori_loop(
+                0, S, body, (ra_codes, ra_amb, lens, hp, hv, ov, lo)
+            )
+            return hp, hv, ov, lo
+
+        batch2 = P(("data", "shard"), None)
+        in_specs = (P("shard"), batch2, batch2, P(("data", "shard")))
+        out_specs = (
+            P(("data", "shard"), None, None),
+            P(("data", "shard"), None, None),
+            P(("data", "shard"), None),
+            P(("data", "shard"), None),
+        )
+    else:
+        Ct = (k + 1) * max_cand
+
+        def fn(shard, s_ra, s_amb, s_lens, s_off, rw, ab, lm, lens):
+            shard = jax.tree.map(lambda x: x[0], shard)
+            my_shard = jax.lax.axis_index("shard")
+            b = rw.shape[0]
             hc = jnp.zeros((b, S, Ct), jnp.int32)
-            hn = jnp.full((b, S, Ct), 255, jnp.int32)
-            hv0 = jnp.zeros((b, S, Ct), jnp.bool_)
-            over = jnp.zeros((b, S), jnp.int32)
-            carry = (codes, amb, lens, hc, hn, hv0, over)
+            hn = jnp.full((b, S, Ct), NM_INVALID, jnp.int32)
+            hv = jnp.zeros((b, S, Ct), jnp.bool_)
+            ov = jnp.zeros((b, S), jnp.int32)
+            lo = jnp.zeros((1, S, 2), jnp.int32)
 
             def body(_, carry):
-                codes, amb, lens, hc, hn, hv, ov = carry
-                cand, nm, valid, overflow = inexact_pipeline(
-                    lattice, mark_ck, ssa, C, dollar, n, tlen, tpacked,
-                    codes, amb, lens,
-                    k=k, max_loc=max_cand, sa_rate=sa_rate, backend=backend,
+                s_ra, s_amb, s_lens, s_off, rw, ab, lm, lens, hc, hn, hv, ov, lo = carry
+                cand, nm, valid, overflow, loc_over, ver_over = inexact_pipeline(
+                    shard, s_ra, s_amb, s_lens, s_off, rw, ab, lm, lens,
+                    k=k, d=d, max_loc=max_cand, sa_rate=sa_rate,
+                    loc_factor=loc_factor, backend=backend,
                 )
-                hc = jax.lax.dynamic_update_index_in_dim(hc, cand, my_shard, 1)
-                hn = jax.lax.dynamic_update_index_in_dim(hn, nm, my_shard, 1)
-                hv = jax.lax.dynamic_update_index_in_dim(hv, valid, my_shard, 1)
-                ov = jax.lax.dynamic_update_index_in_dim(ov, overflow, my_shard, 1)
-                return tuple(
-                    jax.lax.ppermute(x, "shard", perm)
-                    for x in (codes, amb, lens, hc, hn, hv, ov)
+                upd = jax.lax.dynamic_update_index_in_dim
+                hc = upd(hc, cand, my_shard, 1)
+                hn = upd(hn, nm, my_shard, 1)
+                hv = upd(hv, valid, my_shard, 1)
+                ov = upd(ov, overflow, my_shard, 1)
+                lo = upd(lo, jnp.stack([loc_over, ver_over])[None], my_shard, 1)
+                return rotate(
+                    (s_ra, s_amb, s_lens, s_off, rw, ab, lm, lens, hc, hn, hv, ov, lo)
                 )
 
-            codes, amb, lens, hc, hn, hv, ov = jax.lax.fori_loop(0, S, body, carry)
-            return hc, hn, hv, ov
+            out = jax.lax.fori_loop(
+                0, S, body,
+                (s_ra, s_amb, s_lens, s_off, rw, ab, lm, lens, hc, hn, hv, ov, lo),
+            )
+            hc, hn, hv, ov, lo = out[8:]
+            return hc, hn, hv, ov, lo
 
-    idx_specs = (P("shard"),) * 8
-    in_specs = idx_specs + (
-        P(("data", "shard"), None),  # codes
-        P(("data", "shard"), None),  # amb
-        P(("data", "shard")),  # lens
-    )
-    # hit buffers: batch rows on axis 0, shard slots on axis 1; overflow 2-D.
-    n_bufs = 2 if k == 0 else 3
-    out_specs = tuple(P(("data", "shard"), None, None) for _ in range(n_bufs)) + (
-        P(("data", "shard"), None),
-    )
+        batch2 = P(("data", "shard"), None)
+        b1 = P(("data", "shard"))
+        in_specs = (
+            P("shard"),
+            batch2, batch2, b1, b1,  # seeds (rows = B2 * nS)
+            batch2, batch2, batch2, b1,  # packed reads + lens
+        )
+        out_specs = (
+            P(("data", "shard"), None, None),
+            P(("data", "shard"), None, None),
+            P(("data", "shard"), None, None),
+            P(("data", "shard"), None),
+            P(("data", "shard"), None, None),
+        )
 
-    mapped = jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                           check_vma=False)
+    mapped = jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
     return jax.jit(mapped)
 
 
@@ -164,104 +189,70 @@ class DistEngine:
         self.backend = backend
         S = len(shards)
         self.mesh = make_mesh(S, n_data, devices)
-        host = upload_index(shards)
-        # re-place stacked index arrays: shard axis -> 'shard', replicated
-        # over 'data'
-        def put(x, extra_dims):
-            spec = P("shard", *([None] * extra_dims))
-            return jax.device_put(x, NamedSharding(self.mesh, spec))
 
-        self.dev = DeviceIndexSet(
-            lattice=put(host.lattice, 2),
-            mark_rank_ck=put(host.mark_rank_ck, 1),
-            ssa=put(host.ssa, 1),
-            C=put(host.C, 1),
-            dollar_row=put(host.dollar_row, 0),
-            n=put(host.n, 0),
-            text_len=put(host.text_len, 0),
-            text_packed=put(host.text_packed, 1),
-            shard_offsets=host.shard_offsets,
-        )
-        self._compiled = {}
+        def sharding_fn(extra_dims):
+            return NamedSharding(self.mesh, P("shard", *([None] * extra_dims)))
+
+        self.dev = upload_index(shards, sharding_fn=sharding_fn)
+        self.kmer_depths = sorted(shards[0].kmer_tables)
+        self._compiled: dict = {}
 
     @property
     def n_lanes(self) -> int:
         """Global batch rows must be a multiple of this."""
         return self.mesh.shape["shard"] * self.mesh.shape["data"]
 
-    def _get_fn(self, k: int):
-        if k not in self._compiled:
-            self._compiled[k] = build_ring_align(
-                self.mesh,
-                k=k,
-                max_hits=self.config.max_hits,
-                max_cand=self.config.max_cand,
+    def _get_fn(self, k: int, d: int):
+        key = (k, d)
+        if key not in self._compiled:
+            self._compiled[key] = build_ring_align(
+                self.mesh, k=k, d=d,
+                max_hits=self.config.max_hits, max_cand=self.config.max_cand,
                 sa_rate=self.config.sa_rate,
-                backend=self.backend,
+                loc_factor=self.config.loc_factor, backend=self.backend,
             )
-        return self._compiled[k]
+        return self._compiled[key]
 
     def align_batch(self, reads, k: int | None = None) -> list[list[Hit]]:
         k = self.config.k if k is None else k
         lanes = self.n_lanes
         # pad so the stacked-strand batch (2B rows) splits evenly over devices
         Bp = max(lanes, -(-len(reads) // lanes) * lanes)
-        codes2, amb2, lens2, B = _encode(self.config, reads, Bp)
-        fn = self._get_fn(k)
-        d = self.dev
-        spec = NamedSharding(self.mesh, P(("data", "shard"), None))
-        lspec = NamedSharding(self.mesh, P(("data", "shard")))
-        codes2 = jax.device_put(codes2, spec)
-        amb2 = jax.device_put(amb2, spec)
-        lens2 = jax.device_put(lens2, lspec)
-        out = fn(
-            d.lattice, d.mark_rank_ck, d.ssa, d.C, d.dollar_row, d.n,
-            d.text_len, d.text_packed, codes2, amb2, lens2,
-        )
-        out = jax.block_until_ready(out)
+        enc, B = encode_batch(self.config, reads, k, pad_to=Bp)
+        batch2 = NamedSharding(self.mesh, P(("data", "shard"), None))
+        b1 = NamedSharding(self.mesh, P(("data", "shard")))
+        put2 = lambda x: jax.device_put(np.asarray(x), batch2)
+        put1 = lambda x: jax.device_put(np.asarray(x), b1)
+
         if k == 0:
-            pos, valid, overflow = (np.asarray(x) for x in out)
+            d = pick_kmer_depth(self.kmer_depths, enc.min_len)
+            fn = self._get_fn(k, d)
+            out = fn(
+                self.dev.shard, put2(enc.ra_codes), put2(enc.ra_amb),
+                put1(enc.lens),
+            )
+            pos, valid, overflow, comp_over = jax.block_until_ready(out)
             nm = None
         else:
-            pos, nm, valid, overflow = (np.asarray(x) for x in out)
-        return _assemble_hits(
-            self.shards, self.manifest, reads, B, pos, nm, valid,
+            d = pick_kmer_depth(self.kmer_depths, enc.min_seed_len)
+            fn = self._get_fn(k, d)
+            out = fn(
+                self.dev.shard,
+                put2(enc.seed_ra), put2(enc.seed_amb), put1(enc.seed_lens),
+                put1(enc.seed_off), put2(enc.read_words), put2(enc.amb_bits),
+                put2(enc.len_mask), put1(enc.lens),
+            )
+            pos, nm, valid, overflow, comp_over = jax.block_until_ready(out)
+            nm = np.asarray(nm).transpose(1, 0, 2)
+
+        co = int(np.asarray(comp_over).sum())
+        if co:
+            log.warning("dist align: compaction overflow by %d rows", co)
+        # (B2, S, H) -> (S, B2, H) to share the assembly helper
+        pos = np.asarray(pos).transpose(1, 0, 2)
+        valid = np.asarray(valid).transpose(1, 0, 2)
+        return assemble_hits(
+            reads, B, pos, nm, valid,
+            [sh.text_len for sh in self.shards],
+            [sh.shard_offset for sh in self.shards],
         )
-
-
-def _encode(config, reads, Bp):
-    """Encode reads to stacked-strand arrays (standalone helper)."""
-    shim = type("S", (), {"config": config})()
-    from bwtpu.engine import Engine
-
-    return Engine.encode_batch(shim, reads, pad_to=Bp)
-
-
-def _assemble_hits(shards, manifest, reads, B, pos, nm, valid):
-    """pos/valid: (2B, S, H) in global batch order; slot s = shard s."""
-    n_reads = len(reads)
-    S = pos.shape[1]
-    out: list[list[Hit]] = []
-    text_lens = [sh.text_len for sh in shards]
-    offsets = [sh.shard_offset for sh in shards]
-    for b in range(n_reads):
-        best: dict[tuple[int, str], int] = {}
-        rl = len(reads[b].seq)
-        for row, strand in ((b, "+"), (b + B, "-")):
-            for s in range(S):
-                vv = valid[row, s]
-                if not vv.any():
-                    continue
-                ps = pos[row, s][vv]
-                nms = nm[row, s][vv] if nm is not None else np.zeros(len(ps), int)
-                for p, m in zip(ps, nms):
-                    p = int(p)
-                    if p < 0 or p + rl > text_lens[s]:
-                        continue
-                    key = (offsets[s] + p, strand)
-                    if key not in best or int(m) < best[key]:
-                        best[key] = int(m)
-        out.append(
-            sort_hits(Hit(nm=m, strand=st, pos=p) for (p, st), m in best.items())
-        )
-    return out

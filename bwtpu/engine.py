@@ -2,10 +2,19 @@
 
 The reference drives one interpreted loop per read (SURVEY.md §3.2); the
 engine is its TPU-native re-design: a pure function
-  align : (index lattices, read batch int32[B, L]) -> hits int32[...]
+  align : (index lattices, read batch) -> hits
 compiled once with jax.jit (SURVEY.md §7.0), processing both strands of
-thousands of reads per call. Host code does only encoding, batching and
-hit assembly.
+thousands of reads per call. Host code does encoding/packing, batching
+and hit assembly.
+
+v2 pipeline structure (driven by the measured gather economics in
+docs/DESIGN.md — cost is per gathered row, row width free):
+
+  exact:   kmer-start -> right-aligned backward search -> interval
+           expand -> COMPACT valid rows -> LF-walk locate -> scatter
+  inexact: host-built right-aligned seeds -> kmer-start seed search ->
+           expand -> compact -> locate -> candidates -> quadratic dedupe
+           -> compact -> packed XOR/popcount verify -> scatter
 
 Single-process multi-shard here (stacked shard axis + vmap); the
 multi-host/multi-device path wraps the same per-shard function in
@@ -18,6 +27,7 @@ import dataclasses
 import logging
 import time
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -28,155 +38,304 @@ from bwtpu.config import EngineConfig
 from bwtpu.golden import Hit, sort_hits
 from bwtpu.index import FMIndex, ShardManifest
 from bwtpu.io import Read
-from bwtpu.kernels import common
+from bwtpu.kernels.compact import compact, scatter_back
 from bwtpu.kernels.locate import locate_rows
 from bwtpu.kernels.search import backward_search, interval_rows
-from bwtpu.kernels.verify import (NM_INVALID, dedupe_sorted, seed_layout,
-                                  verify_candidates)
+from bwtpu.kernels.search2 import backward_search_ra, right_align
+from bwtpu.kernels.verify2 import (NM_INVALID, build_text_rows,
+                                   dedupe_quadratic, pack_reads,
+                                   verify_packed)
 
 log = logging.getLogger(__name__)
 
+KMER_BUCKETS = (12, 11, 10, 9, 8, 4)  # static depths we may compile for
+
 
 def default_backend() -> str:
-    """Pallas on real TPU, jnp twin elsewhere (CPU tests, interpret)."""
-    try:
-        plat = jax.devices()[0].platform
-    except RuntimeError:
-        plat = "cpu"
-    return "pallas" if plat == "tpu" else "jnp"
+    """Backend tag kept for API symmetry; the compiled-XLA jnp path IS
+    the production kernel on TPU (docs/DESIGN.md)."""
+    return "jnp"
+
+
+class Shard(NamedTuple):
+    """One shard's device-resident index (leading shard axis when
+    stacked). A pytree — vmap/shard_map over axis 0."""
+
+    lattice: jnp.ndarray  # int32[n_blocks+1, 16]
+    mark_rank_ck: jnp.ndarray  # int32[n_blocks+1]
+    ssa: jnp.ndarray  # int32[n_sampled(max)]
+    C: jnp.ndarray  # int32[8]
+    dollar_row: jnp.ndarray  # int32
+    n: jnp.ndarray  # int32
+    text_len: jnp.ndarray  # int32
+    text_rows: jnp.ndarray  # int32[n_words(max), R] stride-1 windows
+    kmer_tables: dict  # {depth: int32[4^depth, 2]}
 
 
 @dataclasses.dataclass
 class DeviceIndexSet:
-    """All shards' lattices stacked on a leading shard axis (padded to a
-    common shape so one compiled function serves every shard)."""
-
-    lattice: jnp.ndarray  # int32[S, n_blocks_max+1, 16]
-    mark_rank_ck: jnp.ndarray  # int32[S, n_blocks_max+1]
-    ssa: jnp.ndarray  # int32[S, ssa_max]
-    C: jnp.ndarray  # int32[S, 8]
-    dollar_row: jnp.ndarray  # int32[S]
-    n: jnp.ndarray  # int32[S]
-    text_len: jnp.ndarray  # int32[S]
-    text_packed: jnp.ndarray  # int32[S, words_max]
-    shard_offsets: np.ndarray  # int64[S] host-side (global resolve)
+    shard: Shard  # stacked on axis 0
+    shard_offsets: np.ndarray  # int64[S], host-side
 
     @property
     def n_shards(self) -> int:
-        return self.lattice.shape[0]
+        return self.shard.lattice.shape[0]
 
 
-def upload_index(shards: list[FMIndex], device=None) -> DeviceIndexSet:
-    def pad_stack(arrs, pad_to=None):
-        if pad_to is None:
-            pad_to = max(a.shape[0] for a in arrs)
+def upload_index(
+    shards: list[FMIndex], device=None, read_len: int | None = None,
+    sharding_fn=None,
+) -> DeviceIndexSet:
+    """Stack shards (padded to common shapes) and place on device.
+
+    sharding_fn(extra_dims) -> sharding for jax.device_put, used by the
+    distributed engine; defaults to single-device placement.
+    """
+    read_len = read_len or shards[0].config.read_len
+
+    def pad_stack(arrs):
+        pad_to = max(a.shape[0] for a in arrs)
         out = np.zeros((len(arrs), pad_to) + arrs[0].shape[1:], dtype=arrs[0].dtype)
         for i, a in enumerate(arrs):
             out[i, : a.shape[0]] = a
         return out
 
-    put = partial(jax.device_put, device=device)
+    if sharding_fn is None:
+        put = lambda x, extra: jax.device_put(x, device=device)
+    else:
+        put = lambda x, extra: jax.device_put(x, sharding_fn(extra))
+
+    depths = sorted(set.intersection(*[set(s.kmer_tables) for s in shards]))
+    shard = Shard(
+        lattice=put(pad_stack([s.search_lattice for s in shards]), 2),
+        mark_rank_ck=put(pad_stack([s.mark_rank_ck for s in shards]), 1),
+        ssa=put(pad_stack([s.ssa for s in shards]), 1),
+        C=put(np.stack([s.C for s in shards]), 1),
+        dollar_row=put(np.array([s.dollar_row for s in shards], np.int32), 0),
+        n=put(np.array([s.n for s in shards], np.int32), 0),
+        text_len=put(np.array([s.text_len for s in shards], np.int32), 0),
+        text_rows=put(
+            pad_stack([build_text_rows(s.text_packed, read_len) for s in shards]),
+            2,
+        ),
+        kmer_tables={
+            dd: put(np.stack([s.kmer_tables[dd] for s in shards]), 2)
+            for dd in depths
+        },
+    )
     return DeviceIndexSet(
-        lattice=put(pad_stack([s.search_lattice for s in shards])),
-        mark_rank_ck=put(pad_stack([s.mark_rank_ck for s in shards])),
-        ssa=put(pad_stack([s.ssa for s in shards])),
-        C=put(np.stack([s.C for s in shards])),
-        dollar_row=put(np.array([s.dollar_row for s in shards], dtype=np.int32)),
-        n=put(np.array([s.n for s in shards], dtype=np.int32)),
-        text_len=put(np.array([s.text_len for s in shards], dtype=np.int32)),
-        text_packed=put(pad_stack([s.text_packed for s in shards])),
-        shard_offsets=np.array([s.shard_offset for s in shards], dtype=np.int64),
+        shard=shard,
+        shard_offsets=np.array([s.shard_offset for s in shards], np.int64),
+    )
+
+
+def pick_kmer_depth(available: list[int], min_len: int) -> int:
+    """Largest available table depth <= min pattern length (0 if none)."""
+    for dd in sorted(available, reverse=True):
+        if dd <= min_len:
+            return dd
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# Host-side batch encoding (NumPy; everything the device needs, padded)
+# ---------------------------------------------------------------------------
+
+
+class EncodedBatch(NamedTuple):
+    # search inputs (both strands stacked: rows [0,B) fwd, [B,2B) rev)
+    ra_codes: np.ndarray  # int32[2B, L] right-aligned
+    ra_amb: np.ndarray  # int32[2B, L]
+    lens: np.ndarray  # int32[2B]
+    # verify inputs
+    read_words: np.ndarray  # int32[2B, W]
+    amb_bits: np.ndarray  # int32[2B, W]
+    len_mask: np.ndarray  # int32[2B, W]
+    # seed inputs (built on demand for inexact)
+    seed_ra: np.ndarray | None  # int32[2B*S, cap]
+    seed_amb: np.ndarray | None
+    seed_lens: np.ndarray | None  # int32[2B*S]
+    seed_off: np.ndarray | None  # int32[2B*S]
+    min_len: int
+    min_seed_len: int
+
+
+def encode_batch(
+    config: EngineConfig, reads: list[Read], k: int, pad_to: int | None = None
+) -> tuple[EncodedBatch, int]:
+    B = len(reads)
+    Bp = pad_to or B
+    L = max(config.read_len, max((len(r.seq) for r in reads), default=1))
+    codes = np.zeros((Bp, L), dtype=np.int32)
+    amb = np.zeros((Bp, L), dtype=np.int32)
+    lens = np.zeros(Bp, dtype=np.int32)
+    if reads and all(len(r.seq) == L for r in reads) and Bp == B:
+        c, m = dna.encode_with_mask("".join(r.seq for r in reads))
+        codes[:B] = c.reshape(B, L)
+        amb[:B] = m.reshape(B, L)
+        lens[:B] = L
+    else:
+        for i, r in enumerate(reads):
+            c, m = dna.encode_with_mask(r.seq)
+            codes[i, : len(c)] = c
+            amb[i, : len(c)] = m
+            lens[i] = len(c)
+
+    # both strands, left-aligned
+    rc = np.where(
+        np.arange(L)[None, :] < lens[:, None],
+        3 - np.take_along_axis(
+            codes, np.clip(lens[:, None] - 1 - np.arange(L)[None, :], 0, L - 1),
+            axis=1,
+        ),
+        0,
+    )
+    ra_m = np.take_along_axis(
+        amb, np.clip(lens[:, None] - 1 - np.arange(L)[None, :], 0, L - 1), axis=1
+    )
+    rc_amb = np.where(np.arange(L)[None, :] < lens[:, None], ra_m, 0)
+    codes2 = np.concatenate([codes, rc]).astype(np.int32)
+    amb2 = np.concatenate([amb, rc_amb]).astype(np.int32)
+    lens2 = np.concatenate([lens, lens])
+
+    ra_c, ra_a = right_align(codes2, amb2, lens2)
+    rw, ab, lm = pack_reads(codes2, amb2, lens2)
+    valid_lens = lens[:B][lens[:B] > 0]
+    min_len = int(valid_lens.min()) if len(valid_lens) else 0
+
+    seed_ra = seed_amb = seed_lens = seed_off = None
+    min_seed_len = 0
+    if k > 0:
+        S = k + 1
+        cap = -(-L // S)
+        B2 = 2 * Bp
+        q, r = lens2 // S, lens2 % S
+        s_idx = np.arange(S)[None, :]
+        off = (s_idx * q[:, None] + np.minimum(s_idx, r[:, None])).astype(np.int32)
+        slen = (q[:, None] + (s_idx < r[:, None])).astype(np.int32)
+        # extract + right-align in one gather per element (host numpy)
+        i_idx = np.arange(cap)[None, None, :]
+        src = off[:, :, None] + i_idx - (cap - slen[:, :, None])
+        ok = src >= off[:, :, None]
+        src_safe = np.clip(src, 0, L - 1)
+        sc = np.take_along_axis(
+            np.repeat(codes2[:, None, :], S, axis=1), src_safe, axis=2
+        )
+        sa_ = np.take_along_axis(
+            np.repeat(amb2[:, None, :], S, axis=1), src_safe, axis=2
+        )
+        seed_ra = np.where(ok, sc, 0).reshape(B2 * S, cap).astype(np.int32)
+        seed_amb = np.where(ok, sa_, 0).reshape(B2 * S, cap).astype(np.int32)
+        seed_lens = slen.reshape(B2 * S)
+        seed_off = off.reshape(B2 * S)
+        pos_seeds = seed_lens[seed_lens > 0]
+        min_seed_len = int(pos_seeds.min()) if len(pos_seeds) else 0
+
+    return (
+        EncodedBatch(
+            ra_codes=ra_c, ra_amb=ra_a, lens=lens2,
+            read_words=rw, amb_bits=ab, len_mask=lm,
+            seed_ra=seed_ra, seed_amb=seed_amb, seed_lens=seed_lens,
+            seed_off=seed_off, min_len=min_len, min_seed_len=min_seed_len,
+        ),
+        Bp,
     )
 
 
 # ---------------------------------------------------------------------------
-# Device-side pipelines (pure functions of one shard's lattices + batch)
+# Device-side pipelines (pure functions of one shard + batch)
 # ---------------------------------------------------------------------------
+
+
+def _locate_compacted(shard: Shard, rows, valid, *, sa_rate, cap, backend):
+    """Compact valid rows, locate them, scatter positions back (-1 fill)."""
+    shape = rows.shape
+    flat_rows = rows.reshape(-1)
+    flat_valid = valid.reshape(-1)
+    sel, count, loc_over = compact(flat_valid, cap)
+    sel_rows = jnp.take(flat_rows, sel)
+    sel_valid = jnp.arange(cap, dtype=jnp.int32) < count
+    pos_c = locate_rows(
+        shard.lattice, shard.mark_rank_ck, shard.ssa, shard.C,
+        shard.dollar_row, sel_rows, sel_valid, sa_rate, backend=backend,
+    )
+    pos = scatter_back(pos_c, sel, count, flat_rows.shape[0], fill=-1)
+    return pos.reshape(shape), loc_over
 
 
 def exact_pipeline(
-    lattice, mark_rank_ck, ssa, C, dollar_row, n, codes, amb, lens,
-    *, max_hits: int, sa_rate: int, backend: str,
+    shard: Shard, ra_codes, ra_amb, lens,
+    *, d: int, max_hits: int, sa_rate: int, loc_factor: int = 2,
+    backend: str = "jnp",
 ):
-    """Exact path (BASELINE config 1+3): search -> expand -> locate.
+    """Exact path (BASELINE configs 1+3): kmer-start search -> locate.
 
-    codes/amb: int32[B2, L] (both strands already stacked); returns
-    (pos int32[B2, max_hits], valid bool[B2, max_hits], overflow[B2]).
-    """
-    sp, ep = backward_search(
-        lattice, C, dollar_row, n, codes, amb, lens, backend=backend
+    Returns (pos int32[B2, H], valid bool[B2, H], overflow int32[B2],
+    loc_overflow int32 scalar)."""
+    kt = shard.kmer_tables[d] if d > 0 else jnp.zeros((1, 2), jnp.int32)
+    sp, ep = backward_search_ra(
+        shard.lattice, shard.C, shard.dollar_row, shard.n, kt,
+        ra_codes, ra_amb, lens, d,
     )
     rows, valid, overflow = interval_rows(sp, ep, max_hits)
-    B2, H = rows.shape
-    pos = locate_rows(
-        lattice, mark_rank_ck, ssa, C, dollar_row,
-        rows.reshape(-1), valid.reshape(-1), sa_rate, backend=backend,
-    ).reshape(B2, H)
-    return pos, valid, overflow
+    cap = ra_codes.shape[0] * loc_factor
+    pos, loc_over = _locate_compacted(
+        shard, rows, valid, sa_rate=sa_rate, cap=cap, backend=backend
+    )
+    valid = valid & (pos >= 0)
+    return pos, valid, overflow, loc_over
 
 
 def inexact_pipeline(
-    lattice, mark_rank_ck, ssa, C, dollar_row, n, text_len, text_packed,
-    codes, amb, lens,
-    *, k: int, max_loc: int, sa_rate: int, backend: str,
+    shard: Shard, enc_seed_ra, enc_seed_amb, enc_seed_lens, enc_seed_off,
+    read_words, amb_bits, len_mask, lens,
+    *, k: int, d: int, max_loc: int, sa_rate: int, loc_factor: int = 4,
+    backend: str = "jnp",
 ):
     """Inexact path (config 2): pigeonhole seed-and-extend (SURVEY.md §7.4).
 
     Returns (cand int32[B2, Ct], nm int32[B2, Ct], valid bool[B2, Ct],
-    overflow int32[B2]) where Ct = (k+1) * max_loc and valid marks
-    candidates with nm <= k.
-    """
-    B2, L = codes.shape
-    n_seeds = k + 1
-    seed_cap = -(-L // n_seeds)  # max seed length over any split
-
-    # Per-read dynamic seed layout (near-equal split of each read's len).
-    q, r = lens // n_seeds, lens % n_seeds
-    s_idx = np.arange(n_seeds, dtype=np.int32)[None, :]  # (1, S)
-    seed_off = s_idx * q[:, None] + jnp.minimum(s_idx, r[:, None])  # (B2, S)
-    seed_len = q[:, None] + (s_idx < r[:, None])  # (B2, S)
-
-    # Extract seeds, left-aligned into (B2 * S, seed_cap).
-    i_idx = np.arange(seed_cap, dtype=np.int32)[None, None, :]
-    src = seed_off[:, :, None] + i_idx  # (B2, S, cap)
-    src_safe = jnp.clip(src, 0, L - 1)
-    seed_codes = jnp.take_along_axis(
-        codes[:, None, :].repeat(n_seeds, axis=1), src_safe, axis=2
+    overflow int32[B2], loc_overflow scalar, ver_overflow scalar)."""
+    B2 = read_words.shape[0]
+    nS = k + 1
+    Ct = nS * max_loc
+    kt = shard.kmer_tables[d] if d > 0 else jnp.zeros((1, 2), jnp.int32)
+    sp, ep = backward_search_ra(
+        shard.lattice, shard.C, shard.dollar_row, shard.n, kt,
+        enc_seed_ra, enc_seed_amb, enc_seed_lens, d,
     )
-    seed_amb = jnp.take_along_axis(
-        amb[:, None, :].repeat(n_seeds, axis=1), src_safe, axis=2
-    )
-    seed_codes = seed_codes.reshape(B2 * n_seeds, seed_cap)
-    seed_amb = seed_amb.reshape(B2 * n_seeds, seed_cap)
-    seed_lens = seed_len.reshape(B2 * n_seeds)
-
-    sp, ep = backward_search(
-        lattice, C, dollar_row, n, seed_codes, seed_amb, seed_lens,
-        backend=backend,
-    )
-    # Degenerate empty seeds (read shorter than n_seeds) match nothing.
-    empty = seed_lens == 0
+    empty = enc_seed_lens == 0
     sp = jnp.where(empty, 0, sp)
     ep = jnp.where(empty, 0, ep)
 
     rows, rvalid, overflow_s = interval_rows(sp, ep, max_loc)
-    spos = locate_rows(
-        lattice, mark_rank_ck, ssa, C, dollar_row,
-        rows.reshape(-1), rvalid.reshape(-1), sa_rate, backend=backend,
-    ).reshape(B2 * n_seeds, max_loc)
-
-    # Candidate read-start = seed position - seed offset.
-    cand = spos - seed_off.reshape(B2 * n_seeds)[:, None]
-    cand = cand.reshape(B2, n_seeds * max_loc)
-    cvalid = rvalid.reshape(B2, n_seeds * max_loc)
-    overflow = overflow_s.reshape(B2, n_seeds).sum(axis=1)
-
-    cand, cvalid = dedupe_sorted(cand, cvalid)
-    nm = verify_candidates(
-        text_packed, text_len, cand, cvalid, codes, amb, lens, backend=backend
+    cap_loc = B2 * loc_factor
+    spos, loc_over = _locate_compacted(
+        shard, rows, rvalid, sa_rate=sa_rate, cap=cap_loc, backend=backend
     )
+    rvalid = rvalid & (spos >= 0)
+
+    cand = (spos - enc_seed_off[:, None]).reshape(B2, Ct)
+    cvalid = rvalid.reshape(B2, Ct)
+    overflow = overflow_s.reshape(B2, nS).sum(axis=1)
+    cvalid = dedupe_quadratic(cand, cvalid)
+
+    # compact candidates, verify packed, scatter nm back
+    cap_ver = B2 * loc_factor
+    sel, count, ver_over = compact(cvalid.reshape(-1), cap_ver)
+    sel_valid = jnp.arange(cap_ver, dtype=jnp.int32) < count
+    cand_c = jnp.take(cand.reshape(-1), sel)
+    b_idx = sel // Ct
+    nm_c = verify_packed(
+        shard.text_rows, shard.text_len, cand_c, sel_valid,
+        jnp.take(read_words, b_idx, axis=0),
+        jnp.take(amb_bits, b_idx, axis=0),
+        jnp.take(len_mask, b_idx, axis=0),
+        jnp.take(lens, b_idx),
+    )
+    nm = scatter_back(nm_c, sel, count, B2 * Ct, fill=NM_INVALID).reshape(B2, Ct)
     hit_valid = nm <= k
-    return cand, nm, hit_valid, overflow
+    return cand, nm, hit_valid, overflow, loc_over, ver_over
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +348,7 @@ class BatchStats:
     reads: int = 0
     hits: int = 0
     overflow_reads: int = 0
+    compact_overflows: int = 0
     device_s: float = 0.0
     host_s: float = 0.0
 
@@ -208,165 +368,105 @@ class Engine:
         self.config = shards[0].config
         self.backend = backend or default_backend()
         self.dev = upload_index(shards, device=device)
+        self.kmer_depths = sorted(shards[0].kmer_tables)
         self.stats = BatchStats()
-        self._compiled: dict = {}  # (kind, params) -> jitted fn
+        self._compiled: dict = {}
 
-    # -- compiled entry points (vmapped over the stacked shard axis) --
+    def _exact_fn(self, d: int):
+        key = ("exact", d, self.config.max_hits)
+        if key not in self._compiled:
+            cfg, backend = self.config, self.backend
 
-    def _build_exact(self, max_hits: int):
-        sa_rate = self.config.sa_rate
-        backend = self.backend
+            def per_shard(shard, ra_codes, ra_amb, lens):
+                return exact_pipeline(
+                    shard, ra_codes, ra_amb, lens,
+                    d=d, max_hits=cfg.max_hits, sa_rate=cfg.sa_rate,
+                    loc_factor=cfg.loc_factor, backend=backend,
+                )
 
-        def per_shard(lattice, mark_ck, ssa, C, dollar, n, codes, amb, lens):
-            return exact_pipeline(
-                lattice, mark_ck, ssa, C, dollar, n, codes, amb, lens,
-                max_hits=max_hits, sa_rate=sa_rate, backend=backend,
+            self._compiled[key] = jax.jit(
+                jax.vmap(per_shard, in_axes=(0, None, None, None))
             )
+        return self._compiled[key]
 
-        vm = jax.vmap(per_shard, in_axes=(0, 0, 0, 0, 0, 0, None, None, None))
-        return jax.jit(vm)
+    def _inexact_fn(self, k: int, d: int):
+        key = ("inexact", k, d, self.config.max_cand)
+        if key not in self._compiled:
+            cfg, backend = self.config, self.backend
 
-    def _build_inexact(self, k: int, max_loc: int):
-        sa_rate = self.config.sa_rate
-        backend = self.backend
+            def per_shard(shard, s_ra, s_amb, s_lens, s_off, rw, ab, lm, lens):
+                return inexact_pipeline(
+                    shard, s_ra, s_amb, s_lens, s_off, rw, ab, lm, lens,
+                    k=k, d=d, max_loc=cfg.max_cand, sa_rate=cfg.sa_rate,
+                    loc_factor=cfg.loc_factor, backend=backend,
+                )
 
-        def per_shard(
-            lattice, mark_ck, ssa, C, dollar, n, tlen, tpacked, codes, amb, lens
-        ):
-            return inexact_pipeline(
-                lattice, mark_ck, ssa, C, dollar, n, tlen, tpacked,
-                codes, amb, lens,
-                k=k, max_loc=max_loc, sa_rate=sa_rate, backend=backend,
+            self._compiled[key] = jax.jit(
+                jax.vmap(
+                    per_shard,
+                    in_axes=(0,) + (None,) * 8,
+                )
             )
-
-        vm = jax.vmap(
-            per_shard, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, None, None, None)
-        )
-        return jax.jit(vm)
-
-    # -- host-side batch prep --
-
-    def encode_batch(
-        self, reads: list[Read], pad_to: int | None = None
-    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
-        """Encode + pad reads; returns (codes[B2,L], amb[B2,L], lens[B2], B)
-        with both strands stacked: rows [0,B) forward, [B,2B) revcomp."""
-        B = len(reads)
-        Bp = pad_to or B
-        L = max(self.config.read_len, max((len(r.seq) for r in reads), default=1))
-        codes = np.zeros((Bp, L), dtype=np.int32)
-        amb = np.zeros((Bp, L), dtype=np.int32)
-        lens = np.zeros(Bp, dtype=np.int32)
-        if reads and all(len(r.seq) == L for r in reads):
-            # uniform-length fast path: one bulk decode
-            c, m = dna.encode_with_mask("".join(r.seq for r in reads))
-            codes[:B] = c.reshape(B, L)
-            amb[:B] = m.reshape(B, L)
-            lens[:B] = L
-        else:
-            for i, r in enumerate(reads):
-                c, m = dna.encode_with_mask(r.seq)
-                codes[i, : len(c)] = c
-                amb[i, : len(c)] = m
-                lens[i] = len(c)
-        codes = jnp.asarray(codes)
-        amb = jnp.asarray(amb)
-        lens = jnp.asarray(lens)
-        rc, ra = common.reverse_complement_reads(codes, amb, lens)
-        codes2 = jnp.concatenate([codes, rc])
-        amb2 = jnp.concatenate([amb, ra])
-        lens2 = jnp.concatenate([lens, lens])
-        return codes2, amb2, lens2, Bp
-
-    # -- public API --
+        return self._compiled[key]
 
     def align_batch(self, reads: list[Read], k: int | None = None) -> list[list[Hit]]:
-        """Align a batch; returns the full deduped sorted hit list per
-        read, in global (concatenated-genome) coordinates."""
         if not reads:
             return []
         k = self.config.k if k is None else k
         t0 = time.perf_counter()
-        codes2, amb2, lens2, B = self.encode_batch(reads)
-        d = self.dev
+        enc, B = encode_batch(self.config, reads, k)
+        shard = self.dev.shard
 
         if k == 0:
-            key = ("exact", self.config.max_hits)
-            if key not in self._compiled:
-                self._compiled[key] = self._build_exact(self.config.max_hits)
-            pos, valid, overflow = self._compiled[key](
-                d.lattice, d.mark_rank_ck, d.ssa, d.C, d.dollar_row, d.n,
-                codes2, amb2, lens2,
+            d = pick_kmer_depth(self.kmer_depths, enc.min_len)
+            fn = self._exact_fn(d)
+            pos, valid, overflow, loc_over = jax.block_until_ready(
+                fn(shard, enc.ra_codes, enc.ra_amb, enc.lens)
             )
-            pos, valid, overflow = jax.block_until_ready((pos, valid, overflow))
-            t1 = time.perf_counter()
             nm = None
+            compact_over = int(np.asarray(loc_over).sum())
         else:
-            key = ("inexact", k, self.config.max_cand)
-            if key not in self._compiled:
-                self._compiled[key] = self._build_inexact(k, self.config.max_cand)
-            pos, nm, valid, overflow = self._compiled[key](
-                d.lattice, d.mark_rank_ck, d.ssa, d.C, d.dollar_row, d.n,
-                d.text_len, d.text_packed, codes2, amb2, lens2,
-            )
-            pos, nm, valid, overflow = jax.block_until_ready(
-                (pos, nm, valid, overflow)
+            d = pick_kmer_depth(self.kmer_depths, enc.min_seed_len)
+            fn = self._inexact_fn(k, d)
+            pos, nm, valid, overflow, loc_over, ver_over = jax.block_until_ready(
+                fn(
+                    shard, enc.seed_ra, enc.seed_amb, enc.seed_lens,
+                    enc.seed_off, enc.read_words, enc.amb_bits, enc.len_mask,
+                    enc.lens,
+                )
             )
             nm = np.asarray(nm)
-            t1 = time.perf_counter()
+            compact_over = int(np.asarray(loc_over).sum()) + int(
+                np.asarray(ver_over).sum()
+            )
+        t1 = time.perf_counter()
 
         pos = np.asarray(pos)  # (S, 2B, H)
         valid = np.asarray(valid)
         overflow = np.asarray(overflow)
-        S = pos.shape[0]
-        text_lens = np.asarray(jax.device_get(d.text_len))
-
-        hits: list[list[Hit]] = [[] for _ in range(len(reads))]
-        n_over = 0
-        for s in range(S):
-            off = int(d.shard_offsets[s])
-            tl = int(text_lens[s])
-            for row in range(2 * B):
-                b = row % B
-                if b >= len(reads):
-                    continue
-                strand = "+" if row < B else "-"
-                vv = valid[s, row]
-                if not vv.any():
-                    continue
-                ps = pos[s, row][vv]
-                nms = nm[s, row][vv] if nm is not None else np.zeros(len(ps), int)
-                rl = len(reads[b].seq)
-                for p, m in zip(ps, nms):
-                    p = int(p)
-                    if p < 0 or p + rl > tl:
-                        continue  # locate of a padded/edge row
-                    hits[b].append(Hit(nm=int(m), strand=strand, pos=off + p))
+        if compact_over:
+            log.warning(
+                "align_batch: compaction capacity overflowed by %d rows; "
+                "results may be incomplete — raise loc_factor/max_cand",
+                compact_over,
+            )
+        out = assemble_hits(
+            reads, B, pos, nm, valid,
+            [int(x) for x in np.asarray(jax.device_get(shard.text_len))],
+            [int(o) for o in self.dev.shard_offsets],
+        )
         n_over = int((overflow.sum(axis=0) > 0).sum())
         if n_over:
             log.warning(
-                "align_batch: %d/%d read-strand rows overflowed hit/candidate "
-                "capacity (max_hits=%d, max_cand=%d); results for those reads "
-                "may be incomplete — raise the caps",
+                "align_batch: %d/%d read-strand rows overflowed interval "
+                "capacity (max_hits=%d, max_cand=%d); raise the caps",
                 n_over, 2 * B, self.config.max_hits, self.config.max_cand,
-            )
-
-        # Cross-shard dedupe (overlap regions) keeping min nm, then the
-        # pinned report order.
-        out = []
-        for b in range(len(reads)):
-            best: dict[tuple[int, str], int] = {}
-            for h in hits[b]:
-                key = (h.pos, h.strand)
-                if key not in best or h.nm < best[key]:
-                    best[key] = h.nm
-            out.append(
-                sort_hits(Hit(nm=m, strand=st, pos=p) for (p, st), m in best.items())
             )
         t2 = time.perf_counter()
         self.stats.reads += len(reads)
         self.stats.hits += sum(len(h) for h in out)
         self.stats.overflow_reads += n_over
+        self.stats.compact_overflows += compact_over
         self.stats.device_s += t1 - t0
         self.stats.host_s += t2 - t1
         return out
@@ -379,3 +479,37 @@ class Engine:
         for i in range(0, len(reads), bs):
             out.extend(self.align_batch(reads[i : i + bs], k=k))
         return out
+
+
+def assemble_hits(reads, B, pos, nm, valid, text_lens, offsets):
+    """(S, 2B, H) device outputs -> per-read deduped sorted Hit lists.
+
+    Vectorized over the valid entries; strand from row index, shard slot
+    from axis 0, global position resolved with int64 offsets.
+    """
+    n_reads = len(reads)
+    S = pos.shape[0]
+    read_lens = np.array([len(r.seq) for r in reads], dtype=np.int64)
+
+    s_idx, row_idx, h_idx = np.nonzero(valid)
+    p = pos[s_idx, row_idx, h_idx].astype(np.int64)
+    m = nm[s_idx, row_idx, h_idx] if nm is not None else np.zeros(len(p), int)
+    b = row_idx % B
+    keep = b < n_reads
+    s_idx, row_idx, p, m, b = s_idx[keep], row_idx[keep], p[keep], m[keep], b[keep]
+    tl = np.array(text_lens, dtype=np.int64)[s_idx]
+    keep = (p >= 0) & (p + read_lens[b] <= tl)
+    s_idx, row_idx, p, m, b = s_idx[keep], row_idx[keep], p[keep], m[keep], b[keep]
+    gpos = np.array(offsets, dtype=np.int64)[s_idx] + p
+    strand_rev = row_idx >= B
+
+    out: list[list[Hit]] = [[] for _ in range(n_reads)]
+    best: dict[tuple[int, int, bool], int] = {}
+    for bb, gp, sr, mm in zip(b, gpos, strand_rev, m):
+        key = (int(bb), int(gp), bool(sr))
+        mm = int(mm)
+        if key not in best or mm < best[key]:
+            best[key] = mm
+    for (bb, gp, sr), mm in best.items():
+        out[bb].append(Hit(nm=mm, strand="-" if sr else "+", pos=gp))
+    return [sort_hits(h) for h in out]

@@ -56,7 +56,7 @@ REC_WORDS = 16  # int32 words per search-lattice record
 BWT_WORD0 = 4  # first packed-BWT word in a record
 MARK_WORD0 = 12  # first mark word in a record
 
-FORMAT_VERSION = 2
+FORMAT_VERSION = 3
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:
@@ -96,6 +96,8 @@ class FMIndex:
     mark_rank_ck: np.ndarray  # int32[n_blocks+1]
     ssa: np.ndarray  # int32[n_sampled]
     text_packed: np.ndarray  # int32[ceil(text_len/16)]
+    kmer_d: int  # max depth of the k-mer start tables (0 = none)
+    kmer_tables: dict  # {depth: int32[4^depth, 2]} SA interval per d-mer
     contigs: list[Contig]
     shard_offset: int = 0  # global position of this shard's base 0
 
@@ -171,6 +173,39 @@ def build_fm_index(
         marked_padded.reshape(n_blocks, BLOCK).sum(axis=1)
     )
 
+    # k-mer start table (docs/DESIGN.md): for every d-mer c, the SA
+    # interval of suffixes starting with c. Exact construction from the
+    # suffix array: give each suffix a base-5 key of its first d symbols
+    # ($=0 < A=1 < ... — shorter suffixes pad with 0) — keys are
+    # non-decreasing in SA order — then binary-search the 4^d ACGT-only
+    # keys. One device gather then replaces d chained search steps.
+    d = config.kmer_d
+    if d is None:
+        d = min(12, max(0, int(np.log(max(n, 2)) / np.log(4))))
+
+    def kmer_table_at(depth: int) -> np.ndarray:
+        sym_padded = np.zeros(n + depth, dtype=np.int64)
+        sym_padded[:n] = symbols
+        key = np.zeros(n, dtype=np.int64)
+        for i in range(depth):
+            key = key * 5 + sym_padded[sa + i]
+        qk = np.zeros(4**depth, dtype=np.int64)
+        for i in range(depth):
+            digit = (np.arange(4**depth, dtype=np.int64) >> (2 * (depth - 1 - i))) & 3
+            qk = qk * 5 + digit + 1
+        lo = np.searchsorted(key, qk, side="left")
+        hi = np.searchsorted(key, qk, side="right")
+        return np.stack([lo, hi], axis=1).astype(np.int32)
+
+    # Ladder of start tables at bucket depths so short patterns (seeds,
+    # short reads) also start from a table lookup without losing the
+    # suffixes-shorter-than-d corner cases (each depth gets its own
+    # exact table; sizes 256 B .. 4^d * 8 B).
+    kmer_tables = {
+        depth: kmer_table_at(depth)
+        for depth in sorted({dd for dd in (4, 8, d) if 0 < dd <= d})
+    }
+
     # Assemble the 16-word records.
     lattice = np.zeros((n_blocks + 1, REC_WORDS), dtype=np.int32)
     lattice[:, 0:4] = occ_ck.astype(np.int32)
@@ -189,6 +224,8 @@ def build_fm_index(
         mark_rank_ck=mark_rank_ck.astype(np.int32),
         ssa=ssa,
         text_packed=pack_2bit(text_codes),
+        kmer_d=d,
+        kmer_tables=kmer_tables,
         contigs=contigs,
         shard_offset=shard_offset,
     )
@@ -284,6 +321,13 @@ def build_sharded_index(
         contigs = [Contig(name="ref", offset=0, length=len(genome))]
     manifest = plan_shards(len(genome), n_shards, overlap)
     manifest.contigs = contigs
+    if config.kmer_d is None:
+        # pin one depth across shards (auto-depth would differ with
+        # shard length and the engine needs a common table ladder)
+        min_n = max(2, min(manifest.lengths) + 1)
+        config = config.replace(
+            kmer_d=min(12, max(0, int(np.log(min_n) / np.log(4))))
+        )
     shards = []
     for start, length in zip(manifest.starts, manifest.lengths):
         shards.append(
@@ -333,7 +377,10 @@ def save_index(path: str, shards: list[FMIndex], manifest: ShardManifest):
             mark_rank_ck=sh.mark_rank_ck,
             ssa=sh.ssa,
             text_packed=sh.text_packed,
+            kmer_d=sh.kmer_d,
+            kmer_depths=np.array(sorted(sh.kmer_tables), dtype=np.int32),
             shard_offset=sh.shard_offset,
+            **{f"kmer_table_{dd}": t for dd, t in sh.kmer_tables.items()},
         )
 
 
@@ -365,6 +412,11 @@ def load_index(path: str) -> tuple[list[FMIndex], ShardManifest]:
                 mark_rank_ck=z["mark_rank_ck"],
                 ssa=z["ssa"],
                 text_packed=z["text_packed"],
+                kmer_d=int(z["kmer_d"]),
+                kmer_tables={
+                    int(dd): z[f"kmer_table_{int(dd)}"]
+                    for dd in z["kmer_depths"]
+                },
                 contigs=contigs,
                 shard_offset=int(z["shard_offset"]),
             )

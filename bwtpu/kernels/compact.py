@@ -1,0 +1,46 @@
+"""Fixed-capacity stream compaction (device-side, static shapes).
+
+Dense lanes cost gather rows whether or not they are valid (cost is per
+row — docs/DESIGN.md), so sparse row sets (locate inputs, verify
+candidates) are compacted to a small fixed capacity first: one cumsum +
+one scatter, then the expensive stage runs on `capacity` lanes instead
+of the padded worst case. Overflow is counted, never silent
+(SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def compact(valid: jnp.ndarray, capacity: int):
+    """Compact the True lanes of a 1-D mask to the front.
+
+    Returns (sel int32[capacity], count int32, overflow int32) where
+    sel[i] = source lane of the i-th valid element (undefined >= count;
+    always in range — safe to gather with). overflow = number of valid
+    lanes beyond capacity.
+    """
+    v = valid.astype(jnp.int32)
+    pos = jnp.cumsum(v) - v  # exclusive prefix sum: output slot per lane
+    count = jnp.minimum(pos[-1] + v[-1], capacity)
+    overflow = jnp.maximum(pos[-1] + v[-1] - capacity, 0)
+    within = valid & (pos < capacity)
+    slot = jnp.where(within, pos, capacity)  # spill slot for drops
+    lane_ids = jnp.arange(valid.shape[0], dtype=jnp.int32)
+    sel = jnp.zeros(capacity + 1, dtype=jnp.int32).at[slot].set(
+        lane_ids, mode="drop"
+    )[:capacity]
+    return sel, count.astype(jnp.int32), overflow.astype(jnp.int32)
+
+
+def scatter_back(
+    values: jnp.ndarray, sel: jnp.ndarray, count: jnp.ndarray, total: int,
+    fill,
+):
+    """Inverse of compact: place values[i] at lane sel[i] for i < count."""
+    out = jnp.full((total,) + values.shape[1:], fill, dtype=values.dtype)
+    k = jnp.arange(sel.shape[0], dtype=jnp.int32)
+    slot = jnp.where(k < count, sel, total)  # drop beyond count
+    return out.at[slot].set(values, mode="drop")

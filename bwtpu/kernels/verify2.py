@@ -1,0 +1,114 @@
+"""Candidate verification v2: word-aligned XOR + popcount, zero element
+gathers.
+
+The v1 verify extracted one text base per (candidate, position) via
+element-wise gathers — ~1 s/batch measured on chip. v2 reformulates:
+
+- the packed text is expanded at upload time into STRIDE-1 OVERLAP ROWS
+  text_rows[w] = words[w : w+R] (int32[n_words, R]) so the whole window
+  of any candidate is ONE row gather (cost is per row, width free —
+  docs/DESIGN.md);
+- reads are 2-bit packed on the HOST (words, ambiguous-position mask,
+  length mask), so the mismatch count is
+    x = (window >> bit_phase) XOR read_words
+    pair = (x | x >> 1) & 0x5555...  (one bit per mismatching base)
+    nm = popcount((pair | amb_bits) & len_mask)
+  — pure VPU work on (cands, R) int32.
+
+Bit phase is the only per-candidate variable (pos % 16), handled by
+per-lane variable shifts (vector ops, not gathers).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bwtpu.kernels.common import popcount32
+
+NM_INVALID = 255
+EVEN = np.uint32(0x55555555)
+
+
+def window_row_width(read_len: int) -> int:
+    """Words per text row so any read_len window at any phase fits."""
+    return (2 * read_len + 30 + 31) // 32 + 1
+
+
+def build_text_rows(text_packed: np.ndarray, read_len: int) -> np.ndarray:
+    """Host: stride-1 overlap rows over the packed text words."""
+    R = window_row_width(read_len)
+    w = text_packed.view(np.int32)
+    padded = np.concatenate([w, np.zeros(R, dtype=np.int32)])
+    return np.lib.stride_tricks.sliding_window_view(padded, R)[: len(w)].copy()
+
+
+def pack_reads(codes: np.ndarray, amb: np.ndarray, lens: np.ndarray):
+    """Host: per-read packed words + ambiguity bits + length mask.
+
+    codes/amb: (B, L) LEFT-aligned; returns (words, amb_bits, len_mask)
+    each int32[B, W] with W = ceil(L/16); one even bit per base
+    (bit 2p of word p//16).
+    """
+    B, L = codes.shape
+    W = (L + 15) // 16
+    padded = np.zeros((B, W * 16), dtype=np.uint32)
+    padded[:, :L] = codes.astype(np.uint32)
+    shifts = (2 * (np.arange(W * 16) % 16)).astype(np.uint32)
+    words = (padded << shifts[None, :]).reshape(B, W, 16)
+    words = np.bitwise_or.reduce(words, axis=2)
+
+    amb_p = np.zeros((B, W * 16), dtype=np.uint32)
+    amb_p[:, :L] = amb.astype(np.uint32)
+    amb_bits = (amb_p << shifts[None, :]).reshape(B, W, 16)
+    amb_bits = np.bitwise_or.reduce(amb_bits, axis=2)
+
+    in_len = (np.arange(W * 16)[None, :] < lens[:, None]).astype(np.uint32)
+    len_mask = (in_len << shifts[None, :]).reshape(B, W, 16)
+    len_mask = np.bitwise_or.reduce(len_mask, axis=2)
+    to_i32 = lambda a: a.astype(np.uint32).view(np.int32)
+    return to_i32(words), to_i32(amb_bits), to_i32(len_mask)
+
+
+def verify_packed(
+    text_rows: jnp.ndarray,  # int32[n_words, R]
+    text_len: jnp.ndarray,  # int32
+    cand: jnp.ndarray,  # int32[Cc] candidate start positions (compacted)
+    cvalid: jnp.ndarray,  # bool[Cc]
+    read_words: jnp.ndarray,  # int32[Cc, W] (already per-candidate)
+    amb_bits: jnp.ndarray,  # int32[Cc, W]
+    len_mask: jnp.ndarray,  # int32[Cc, W]
+    lens: jnp.ndarray,  # int32[Cc]
+) -> jnp.ndarray:
+    """nm int32[Cc]; NM_INVALID where invalid/out of range."""
+    W = read_words.shape[1]
+    in_range = cvalid & (cand >= 0) & (cand + lens <= text_len)
+    pos = jnp.where(in_range, cand, 0)
+    rows = jnp.take(text_rows, pos >> 4, axis=0)  # (Cc, R) one gather
+    ob = ((pos & 15) * 2).astype(jnp.uint32)[:, None]  # bit phase
+
+    lo = rows[:, :W].astype(jnp.uint32)
+    hi = rows[:, 1 : W + 1].astype(jnp.uint32)
+    window = (lo >> ob) | jnp.where(ob == 0, jnp.uint32(0), hi << (32 - ob))
+
+    x = window ^ read_words.astype(jnp.uint32)
+    pair = (x | (x >> 1)) & EVEN
+    pair = (pair | amb_bits.astype(jnp.uint32)) & len_mask.astype(jnp.uint32)
+    nm = jnp.sum(popcount32(pair), axis=1).astype(jnp.int32)
+    return jnp.where(in_range, nm, NM_INVALID)
+
+
+def dedupe_quadratic(cand: jnp.ndarray, valid: jnp.ndarray):
+    """Invalidate duplicate candidate positions per read (keep first).
+
+    cand/valid: (B, C) with small C — the O(C^2) pairwise compare is a
+    few fused VPU ops and beats a bitonic sort at these widths
+    (measured: sort cost ~99 ms/batch at C=48).
+    """
+    # eq[b, i, j] = cand[b, i] == cand[b, j] and valid[b, j]
+    eq = (cand[:, :, None] == cand[:, None, :]) & valid[:, None, :]
+    C = cand.shape[1]
+    earlier = np.tril(np.ones((C, C), dtype=bool), -1)[None]  # j < i
+    dup = jnp.any(eq & earlier, axis=2)
+    return valid & ~dup

@@ -66,7 +66,7 @@ def test_short_and_degenerate_reads(world):
 
     # Degenerate reads hit thousands of positions; use a high-capacity
     # engine so the fixed-shape output arrays hold the full hit set.
-    engine = Engine([build_fm_index(genome, CFG.replace(max_hits=4096))])
+    engine = Engine([build_fm_index(genome, CFG.replace(max_hits=4096, loc_factor=2048))])
     reads = [
         Read("tiny", genome[100:104]),  # 4 bp, many hits
         Read("one", genome[200:201]),  # single base: ~n/4 hits per strand
@@ -92,7 +92,7 @@ def test_repetitive_genome_multi_hits(world):
     # tandem repeats -> one read, many positions
     genome = ("ACGTGGTCA" * 40) + random_genome(500, seed=44)
     golden = GoldenFMIndex(genome)
-    engine = Engine([build_fm_index(genome, CFG.replace(max_hits=64, max_cand=64))])
+    engine = Engine([build_fm_index(genome, CFG.replace(max_hits=64, max_cand=64, loc_factor=96))])
     from bwtpu.io import Read
 
     reads = [Read("rep", genome[0:27])]  # three repeat units

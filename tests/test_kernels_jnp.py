@@ -21,7 +21,7 @@ def setup():
     genome = random_genome(2000, seed=21)
     golden = GoldenFMIndex(genome)
     idx = build_fm_index(genome, EngineConfig(sa_rate=8))
-    dev = upload_index([idx])
+    dev = upload_index([idx]).shard
     return genome, golden, idx, dev
 
 
@@ -121,7 +121,7 @@ def test_verify_candidates_matches_hamming(setup):
         cand[b, 0] = start  # one known-good candidate
     nm = np.asarray(
         verify_candidates(
-            dev.text_packed[0], dev.text_len[0], jnp.asarray(cand),
+            jnp.asarray(idx.text_packed), dev.text_len[0], jnp.asarray(cand),
             jnp.asarray(cvalid), jnp.asarray(codes), jnp.asarray(amb),
             jnp.asarray(lens),
         )
