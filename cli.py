@@ -1,0 +1,264 @@
+"""bwtpu command line (layer L6, SURVEY.md §1).
+
+Subcommands:
+  build-index  FASTA -> on-disk index artifact (sharded, versioned)
+  align        index + FASTQ (single or paired) -> SAM, streamed in
+               batches with a checkpointed batch cursor for resume
+               (SURVEY.md §5.3-5.4) and a structured per-batch log line
+               (§5.5)
+  simulate     deterministic test genomes / read sets (component C20)
+  bench        the driver benchmark (bench.py)
+
+Examples:
+  python cli.py build-index ref.fa idx/ --shards 4 --sa-rate 8
+  python cli.py align idx/ reads.fq -o out.sam -k 2
+  python cli.py align idx/ r1.fq --paired r2.fq -o out.sam
+  python cli.py simulate --scale ecoli -o data/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+log = logging.getLogger("bwtpu.cli")
+
+
+def cmd_build_index(args):
+    import numpy as np
+
+    from bwtpu.config import EngineConfig
+    from bwtpu.index import build_sharded_index, save_index
+    from bwtpu.io import read_fasta
+
+    t0 = time.time()
+    genome, contigs = read_fasta(args.fasta)
+    cfg = EngineConfig(
+        sa_rate=args.sa_rate,
+        kmer_d=args.kmer_d,
+        read_len=args.read_len,
+        max_hits=args.max_hits,
+        max_cand=args.max_cand,
+    )
+    n_shards = args.shards
+    if n_shards == 0:  # auto: keep every shard under ~256 Mbp
+        n_shards = max(1, -(-len(genome) // (256 * 10**6)))
+    shards, manifest = build_sharded_index(
+        genome, n_shards, config=cfg, contigs=contigs, overlap=args.overlap
+    )
+    save_index(args.out, shards, manifest)
+    total_bytes = sum(
+        s.search_lattice.nbytes + s.ssa.nbytes + s.text_packed.nbytes
+        + s.mark_rank_ck.nbytes
+        + sum(t.nbytes for t in s.kmer_tables.values())
+        for s in shards
+    )
+    print(
+        f"built index: {len(genome)} bp, {len(contigs)} contig(s), "
+        f"{n_shards} shard(s), {total_bytes/1e6:.1f} MB, "
+        f"{time.time()-t0:.1f}s -> {args.out}"
+    )
+
+
+def _open_out(path):
+    return sys.stdout if path in (None, "-") else open(path, "w")
+
+
+def cmd_align(args):
+    from bwtpu.engine import Engine
+    from bwtpu.index import load_index
+    from bwtpu.io import read_reads
+    from bwtpu.sam import emit_sam, pair_and_emit_sam, sam_header
+
+    shards, manifest = load_index(args.index)
+    engine = Engine(shards, manifest)
+    k = args.k if args.k is not None else shards[0].config.k
+    bs = args.batch_size
+
+    profile_ctx = None
+    if args.profile:
+        import jax
+
+        os.makedirs(args.profile, exist_ok=True)
+        jax.profiler.start_trace(args.profile)
+        profile_ctx = True
+
+    reads = read_reads(args.reads)
+    cursor_path = (args.out + ".cursor") if args.out and args.out != "-" else None
+    start_batch = 0
+    if args.resume and cursor_path and os.path.exists(cursor_path):
+        with open(cursor_path) as f:
+            start_batch = json.load(f)["next_batch"]
+        log.info("resuming at batch %d", start_batch)
+
+    mode = "a" if (args.resume and start_batch > 0) else "w"
+    out = sys.stdout if args.out in (None, "-") else open(args.out, mode)
+    t_start = time.time()
+    total = 0
+    try:
+        if args.paired:
+            reads2 = read_reads(args.paired)
+            if len(reads2) != len(reads):
+                raise SystemExit("paired files differ in read count")
+            if mode == "w":
+                out.write(sam_header(manifest.contigs))
+            for bi in range(0, len(reads), bs):
+                if bi // bs < start_batch:
+                    continue
+                t0 = time.time()
+                r1 = reads[bi : bi + bs]
+                r2 = reads2[bi : bi + bs]
+                h1 = engine.align_batch(r1, k=k)
+                h2 = engine.align_batch(r2, k=k)
+                pair_and_emit_sam(
+                    list(zip(r1, r2)), h1, h2, manifest.contigs, out,
+                    min_insert=args.min_insert, max_insert=args.max_insert,
+                    header=False,
+                )
+                total += 2 * len(r1)
+                _log_batch(bi // bs, 2 * len(r1), h1, h2, t0)
+                _save_cursor(cursor_path, bi // bs + 1)
+        else:
+            if mode == "w":
+                out.write(sam_header(manifest.contigs))
+            for bi in range(0, len(reads), bs):
+                if bi // bs < start_batch:
+                    continue
+                t0 = time.time()
+                chunk = reads[bi : bi + bs]
+                hits = engine.align_batch(chunk, k=k)
+                emit_sam(chunk, hits, manifest.contigs, out, header=False)
+                total += len(chunk)
+                _log_batch(bi // bs, len(chunk), hits, None, t0)
+                _save_cursor(cursor_path, bi // bs + 1)
+    finally:
+        if out is not sys.stdout:
+            out.close()
+        if profile_ctx:
+            import jax
+
+            jax.profiler.stop_trace()
+
+    dt = time.time() - t_start
+    st = engine.stats
+    print(
+        json.dumps({
+            "event": "summary", "reads": total, "hits": st.hits,
+            "reads_per_s": round(total / dt, 1), "wall_s": round(dt, 2),
+            "device_s": round(st.device_s, 2), "host_s": round(st.host_s, 2),
+            "overflow_reads": st.overflow_reads,
+            "compact_overflows": st.compact_overflows,
+        }),
+        file=sys.stderr,
+    )
+
+
+def _log_batch(bid, n, h1, h2, t0):
+    dt = time.time() - t0
+    nh = sum(len(h) for h in h1) + (sum(len(h) for h in h2) if h2 else 0)
+    print(
+        json.dumps({
+            "event": "batch", "batch": bid, "reads": n, "hits": nh,
+            "reads_per_s": round(n / dt, 1), "ms": round(dt * 1e3, 1),
+        }),
+        file=sys.stderr,
+    )
+
+
+def _save_cursor(path, next_batch):
+    if path:
+        with open(path, "w") as f:
+            json.dump({"next_batch": next_batch}, f)
+
+
+def cmd_simulate(args):
+    from bwtpu.io import write_fasta, write_fastq
+    from bwtpu.simulate import (CHR21_SCALE, ECOLI_SCALE, PHIX_SCALE,
+                                random_genome, simulate_pairs, simulate_reads)
+
+    scale = {"phix": PHIX_SCALE, "ecoli": ECOLI_SCALE, "chr21": CHR21_SCALE}.get(
+        args.scale, None
+    )
+    n = scale if scale else int(args.scale)
+    os.makedirs(args.out, exist_ok=True)
+    genome = random_genome(n, seed=args.seed)
+    write_fasta(os.path.join(args.out, "ref.fa"), [("sim1", genome)])
+    reads, truth = simulate_reads(
+        genome, args.n_reads, read_len=args.read_len,
+        max_mismatches=args.mismatches, n_frac=args.n_frac, seed=args.seed + 1,
+    )
+    write_fastq(os.path.join(args.out, "reads.fq"), reads)
+    with open(os.path.join(args.out, "truth.json"), "w") as f:
+        json.dump(truth, f)
+    if args.pairs:
+        pairs, ptruth = simulate_pairs(
+            genome, args.pairs, read_len=args.read_len, seed=args.seed + 2
+        )
+        write_fastq(os.path.join(args.out, "reads_1.fq"), [p[0] for p in pairs])
+        write_fastq(os.path.join(args.out, "reads_2.fq"), [p[1] for p in pairs])
+        with open(os.path.join(args.out, "truth_pairs.json"), "w") as f:
+            json.dump(ptruth, f)
+    print(f"simulated {n} bp genome + {args.n_reads} reads -> {args.out}")
+
+
+def cmd_bench(args):
+    import bench
+
+    bench.main()
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s %(message)s")
+    p = argparse.ArgumentParser(prog="bwtpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build-index", help="build an FM-index artifact")
+    b.add_argument("fasta")
+    b.add_argument("out")
+    b.add_argument("--shards", type=int, default=0, help="0 = auto")
+    b.add_argument("--sa-rate", type=int, default=8)
+    b.add_argument("--kmer-d", type=int, default=None)
+    b.add_argument("--read-len", type=int, default=100)
+    b.add_argument("--max-hits", type=int, default=16)
+    b.add_argument("--max-cand", type=int, default=32)
+    b.add_argument("--overlap", type=int, default=256)
+    b.set_defaults(fn=cmd_build_index)
+
+    a = sub.add_parser("align", help="align reads, emit SAM")
+    a.add_argument("index")
+    a.add_argument("reads")
+    a.add_argument("--paired", help="mate FASTQ for paired-end")
+    a.add_argument("-o", "--out", default="-")
+    a.add_argument("-k", type=int, default=None, help="max mismatches (default: index config)")
+    a.add_argument("--batch-size", type=int, default=4096)
+    a.add_argument("--min-insert", type=int, default=0)
+    a.add_argument("--max-insert", type=int, default=1000)
+    a.add_argument("--resume", action="store_true",
+                   help="resume from <out>.cursor after an interrupted run")
+    a.add_argument("--profile", help="write a jax profiler trace to this dir")
+    a.set_defaults(fn=cmd_align)
+
+    s = sub.add_parser("simulate", help="generate test genome + reads")
+    s.add_argument("--scale", default="phix", help="phix|ecoli|chr21|<bp>")
+    s.add_argument("-o", "--out", default="data/sim")
+    s.add_argument("--n-reads", type=int, default=1000)
+    s.add_argument("--read-len", type=int, default=100)
+    s.add_argument("--mismatches", type=int, default=2)
+    s.add_argument("--n-frac", type=float, default=0.0)
+    s.add_argument("--pairs", type=int, default=0)
+    s.add_argument("--seed", type=int, default=0)
+    s.set_defaults(fn=cmd_simulate)
+
+    be = sub.add_parser("bench", help="run the driver benchmark")
+    be.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
