@@ -52,9 +52,13 @@ KMER_BUCKETS = (12, 11, 10, 9, 8, 4)  # static depths we may compile for
 
 
 def default_backend() -> str:
-    """Backend tag kept for API symmetry; the compiled-XLA jnp path IS
-    the production kernel on TPU (docs/DESIGN.md)."""
-    return "jnp"
+    """Pallas fused kernels on TPU (gathers stay in XLA — docs/DESIGN.md);
+    jnp twins elsewhere."""
+    try:
+        plat = jax.devices()[0].platform
+    except RuntimeError:
+        plat = "cpu"
+    return "pallas" if plat == "tpu" else "jnp"
 
 
 class Shard(NamedTuple):
@@ -275,7 +279,7 @@ def exact_pipeline(
     kt = shard.kmer_tables[d] if d > 0 else jnp.zeros((1, 2), jnp.int32)
     sp, ep = backward_search_ra(
         shard.lattice, shard.C, shard.dollar_row, shard.n, kt,
-        ra_codes, ra_amb, lens, d,
+        ra_codes, ra_amb, lens, d, backend=backend,
     )
     rows, valid, overflow = interval_rows(sp, ep, max_hits)
     cap = ra_codes.shape[0] * loc_factor
@@ -302,7 +306,7 @@ def inexact_pipeline(
     kt = shard.kmer_tables[d] if d > 0 else jnp.zeros((1, 2), jnp.int32)
     sp, ep = backward_search_ra(
         shard.lattice, shard.C, shard.dollar_row, shard.n, kt,
-        enc_seed_ra, enc_seed_amb, enc_seed_lens, d,
+        enc_seed_ra, enc_seed_amb, enc_seed_lens, d, backend=backend,
     )
     empty = enc_seed_lens == 0
     sp = jnp.where(empty, 0, sp)
@@ -332,6 +336,7 @@ def inexact_pipeline(
         jnp.take(amb_bits, b_idx, axis=0),
         jnp.take(len_mask, b_idx, axis=0),
         jnp.take(lens, b_idx),
+        backend=backend,
     )
     nm = scatter_back(nm_c, sel, count, B2 * Ct, fill=NM_INVALID).reshape(B2, Ct)
     hit_valid = nm <= k

@@ -43,11 +43,42 @@ def block_rank(
     """Count of base `c` among the first `m` bases of each 128-base block.
 
     bwt_words: (..., 8) int32; c, m: (...,) int32. Returns (...,) int32.
+
+    SWAR formulation (8 words of VPU work per query instead of a
+    128-lane unpack): XOR the word against the base pattern replicated
+    16x, collapse each 2-bit group to one even-position bit, mask to the
+    m-base prefix, popcount.
     """
-    codes = unpack_block_codes(bwt_words)  # (..., 128)
-    lane = np.arange(BLOCK, dtype=np.int32)
-    hit = (codes == c[..., None]) & (lane < m[..., None])
-    return jnp.sum(hit, axis=-1).astype(jnp.int32)
+    w = bwt_words.astype(jnp.uint32)  # (..., 8)
+    pattern = (c.astype(jnp.uint32) * jnp.uint32(0x55555555))[..., None]
+    y = w ^ pattern
+    match = ~(y | (y >> 1)) & jnp.uint32(0x55555555)  # even bit per matching base
+    # prefix mask: word k holds bases [16k, 16k+16); keep 2*clip(m-16k,0,16) bits
+    k16 = (np.arange(8, dtype=np.int32) * 16)[None, :]
+    nb = jnp.clip(m[..., None] - k16, 0, 16).astype(jnp.uint32)
+    mask = jnp.where(
+        nb >= 16,
+        jnp.uint32(0xFFFFFFFF),
+        (jnp.uint32(1) << (2 * nb)) - 1,
+    )
+    return jnp.sum(popcount32(match & mask), axis=-1).astype(jnp.int32)
+
+
+def occ_from_records(
+    rec: jnp.ndarray,
+    dollar_row: jnp.ndarray,
+    c: jnp.ndarray,
+    i: jnp.ndarray,
+) -> jnp.ndarray:
+    """Occ(c, i) given the already-gathered record of block i>>7."""
+    j = i >> LOG2_BLOCK
+    m = i & (BLOCK - 1)
+    ck = jnp.take_along_axis(rec[:, 0:4], c[:, None], axis=1)[:, 0]
+    inblk = block_rank(rec[:, BWT_WORD0 : BWT_WORD0 + 8], c, m)
+    corr = ((c == 0) & ((dollar_row >> LOG2_BLOCK) == j) & (dollar_row < i)).astype(
+        jnp.int32
+    )
+    return ck + inblk - corr
 
 
 def occ(
@@ -59,18 +90,10 @@ def occ(
     """Batched Occ(c, i) = count of base c in BWT[0:i).
 
     lattice: (n_blocks+1, 16) int32; c, i: (B,) int32. One gather of a
-    64 B record per query + VPU in-block rank, exactly as the Pallas
-    kernel does it (SURVEY.md §3.2).
+    64 B record per query + VPU in-block rank (SURVEY.md §3.2).
     """
-    j = i >> LOG2_BLOCK
-    m = i & (BLOCK - 1)
-    rec = jnp.take(lattice, j, axis=0)  # (B, 16)
-    ck = jnp.take_along_axis(rec[:, 0:4], c[:, None], axis=1)[:, 0]
-    inblk = block_rank(rec[:, BWT_WORD0 : BWT_WORD0 + 8], c, m)
-    corr = ((c == 0) & ((dollar_row >> LOG2_BLOCK) == j) & (dollar_row < i)).astype(
-        jnp.int32
-    )
-    return ck + inblk - corr
+    rec = jnp.take(lattice, i >> LOG2_BLOCK, axis=0)  # (B, 16)
+    return occ_from_records(rec, dollar_row, c, i)
 
 
 def bwt_code_at(rec: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:

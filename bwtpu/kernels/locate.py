@@ -33,12 +33,6 @@ def locate_rows(
     backend: str = "jnp",
 ) -> jnp.ndarray:
     """Returns positions int32[B]; -1 where not valid."""
-    if backend == "pallas":
-        from bwtpu.kernels.pallas_locate import locate_rows_pallas
-
-        return locate_rows_pallas(
-            lattice, mark_rank_ck, ssa, C, dollar_row, rows, valid, sa_rate
-        )
     B = rows.shape[0]
     r0 = jnp.where(valid, rows, 0)
     done0 = ~valid
@@ -50,6 +44,14 @@ def locate_rows(
         j = r >> common.LOG2_BLOCK
         m = r & (common.BLOCK - 1)
         rec = jnp.take(lattice, j, axis=0)  # (B, 16)
+        if backend == "pallas":
+            from bwtpu.kernels.pallas_step import locate_step_pallas
+
+            rank_ck = jnp.take(mark_rank_ck, j)
+            r2, done2, rank2, steps2 = locate_step_pallas(
+                rec, rank_ck, r, done, rank_out, steps_out, t, C, dollar_row
+            )
+            return r2, done2, rank2, steps2
         bit, inrank = common.mark_bit_and_rank(rec, m)
         found = (bit == 1) & ~done
         rank = jnp.take(mark_rank_ck, j) + inrank

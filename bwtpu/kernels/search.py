@@ -33,10 +33,6 @@ def backward_search(
     backend: str = "jnp",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns per-read half-open (sp, ep), each int32[B]."""
-    if backend == "pallas":
-        from bwtpu.kernels.pallas_search import backward_search_pallas
-
-        return backward_search_pallas(lattice, C, dollar_row, n, codes, amb, lens)
     B, L = codes.shape
     sp0 = jnp.zeros(B, dtype=jnp.int32)
     ep0 = jnp.full(B, 1, dtype=jnp.int32) * n.astype(jnp.int32)

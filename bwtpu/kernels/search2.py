@@ -26,7 +26,7 @@ import numpy as np
 from bwtpu.kernels import common
 
 
-@partial(jax.jit, static_argnames=("d",))
+@partial(jax.jit, static_argnames=("d", "backend"))
 def backward_search_ra(
     lattice: jnp.ndarray,  # int32[n_blocks+1, 16]
     C: jnp.ndarray,  # int32[8]
@@ -37,6 +37,7 @@ def backward_search_ra(
     ra_amb: jnp.ndarray,  # int32[B, L]
     lens: jnp.ndarray,  # int32[B]; caller guarantees lens >= d or len==0
     d: int,
+    backend: str = "jnp",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Returns per-read half-open (sp, ep), int32[B] each."""
     B, L = ra_codes.shape
@@ -64,6 +65,14 @@ def backward_search_ra(
         c = ra_codes[:, pos]
         a = ra_amb[:, pos]
         active = pos >= (L - lens)
+        if backend == "pallas":
+            from bwtpu.kernels.pallas_step import search_step_pallas
+
+            rec_sp = jnp.take(lattice, sp >> 7, axis=0)
+            rec_ep = jnp.take(lattice, ep >> 7, axis=0)
+            return search_step_pallas(
+                rec_sp, rec_ep, c, a, active, sp, ep, C, dollar_row
+            )
         both = jnp.concatenate([sp, ep])
         o = common.occ(lattice, dollar_row, jnp.concatenate([c, c]), both)
         cbase = jnp.take(C, c + 1)

@@ -37,12 +37,6 @@ def verify_candidates(
     backend: str = "jnp",
 ) -> jnp.ndarray:
     """Returns nm int32[B, Cmax]; NM_INVALID where invalid/out of range."""
-    if backend == "pallas":
-        from bwtpu.kernels.pallas_verify import verify_candidates_pallas
-
-        return verify_candidates_pallas(
-            text_packed, text_len, cand, cand_valid, codes, amb, lens
-        )
     B, Cmax = cand.shape
     L = codes.shape[1]
     W = (L + 30) // 16  # words covering any L-window at any 16-alignment

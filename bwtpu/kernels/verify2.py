@@ -80,12 +80,19 @@ def verify_packed(
     amb_bits: jnp.ndarray,  # int32[Cc, W]
     len_mask: jnp.ndarray,  # int32[Cc, W]
     lens: jnp.ndarray,  # int32[Cc]
+    backend: str = "jnp",
 ) -> jnp.ndarray:
     """nm int32[Cc]; NM_INVALID where invalid/out of range."""
     W = read_words.shape[1]
     in_range = cvalid & (cand >= 0) & (cand + lens <= text_len)
     pos = jnp.where(in_range, cand, 0)
     rows = jnp.take(text_rows, pos >> 4, axis=0)  # (Cc, R) one gather
+    if backend == "pallas":
+        from bwtpu.kernels.pallas_step import verify_nm_pallas
+
+        return verify_nm_pallas(
+            rows, read_words, amb_bits, len_mask, (pos & 15) * 2, in_range
+        )
     ob = ((pos & 15) * 2).astype(jnp.uint32)[:, None]  # bit phase
 
     lo = rows[:, :W].astype(jnp.uint32)
