@@ -65,8 +65,7 @@ class Shard(NamedTuple):
     """One shard's device-resident index (leading shard axis when
     stacked). A pytree — vmap/shard_map over axis 0."""
 
-    lattice: jnp.ndarray  # int32[n_blocks+1, 16]
-    mark_rank_ck: jnp.ndarray  # int32[n_blocks+1]
+    lattice: jnp.ndarray  # int32[n_blocks+1, 32]
     ssa: jnp.ndarray  # int32[n_sampled(max)]
     C: jnp.ndarray  # int32[8]
     dollar_row: jnp.ndarray  # int32
@@ -112,7 +111,6 @@ def upload_index(
     depths = sorted(set.intersection(*[set(s.kmer_tables) for s in shards]))
     shard = Shard(
         lattice=put(pad_stack([s.search_lattice for s in shards]), 2),
-        mark_rank_ck=put(pad_stack([s.mark_rank_ck for s in shards]), 1),
         ssa=put(pad_stack([s.ssa for s in shards]), 1),
         C=put(np.stack([s.C for s in shards]), 1),
         dollar_row=put(np.array([s.dollar_row for s in shards], np.int32), 0),
@@ -260,7 +258,7 @@ def _locate_compacted(shard: Shard, rows, valid, *, sa_rate, cap, backend):
     sel_rows = jnp.take(flat_rows, sel)
     sel_valid = jnp.arange(cap, dtype=jnp.int32) < count
     pos_c = locate_rows(
-        shard.lattice, shard.mark_rank_ck, shard.ssa, shard.C,
+        shard.lattice, shard.ssa, shard.C,
         shard.dollar_row, sel_rows, sel_valid, sa_rate, backend=backend,
     )
     pos = scatter_back(pos_c, sel, count, flat_rows.shape[0], fill=-1)
@@ -277,7 +275,7 @@ def exact_pipeline(
     Returns (pos int32[B2, H], valid bool[B2, H], overflow int32[B2],
     loc_overflow int32 scalar)."""
     kt = shard.kmer_tables[d] if d > 0 else jnp.zeros((1, 2), jnp.int32)
-    sp, ep = backward_search_ra(
+    sp, ep, fix_over = backward_search_ra(
         shard.lattice, shard.C, shard.dollar_row, shard.n, kt,
         ra_codes, ra_amb, lens, d, backend=backend,
     )
@@ -287,7 +285,7 @@ def exact_pipeline(
         shard, rows, valid, sa_rate=sa_rate, cap=cap, backend=backend
     )
     valid = valid & (pos >= 0)
-    return pos, valid, overflow, loc_over
+    return pos, valid, overflow, loc_over + fix_over
 
 
 def inexact_pipeline(
@@ -304,7 +302,7 @@ def inexact_pipeline(
     nS = k + 1
     Ct = nS * max_loc
     kt = shard.kmer_tables[d] if d > 0 else jnp.zeros((1, 2), jnp.int32)
-    sp, ep = backward_search_ra(
+    sp, ep, fix_over = backward_search_ra(
         shard.lattice, shard.C, shard.dollar_row, shard.n, kt,
         enc_seed_ra, enc_seed_amb, enc_seed_lens, d, backend=backend,
     )
@@ -340,7 +338,7 @@ def inexact_pipeline(
     )
     nm = scatter_back(nm_c, sel, count, B2 * Ct, fill=NM_INVALID).reshape(B2, Ct)
     hit_valid = nm <= k
-    return cand, nm, hit_valid, overflow, loc_over, ver_over
+    return cand, nm, hit_valid, overflow, loc_over + fix_over, ver_over
 
 
 # ---------------------------------------------------------------------------

@@ -7,8 +7,11 @@ lattices (SURVEY.md §7.2 "memory layout — the load-bearing decisions").
 Lattice layout (normative; the jnp twin and Pallas kernels both consume
 exactly this):
 
-  search_lattice : int32[n_blocks + 1, 16] — one 64 B record per
-      128-base BWT block j, so a rank query is ONE contiguous gather:
+  search_lattice : int32[n_blocks + 1, 32] — one 128 B record per
+      128-base BWT block j. Width is free on the gather path (cost is
+      per row — docs/DESIGN.md), so the record carries everything any
+      step could need, making BOTH a backward-search step (both bounds,
+      while ep - sp <= 128) and a locate step ONE gather:
         words  0..3   OccCk[j][c]: count of base c in BWT[0 : 128*j)
                       (true counts; the '$' row is NOT counted as any
                       base),
@@ -18,12 +21,12 @@ exactly this):
                       corrected at query time via dollar_row),
         words 12..15  SA-sample mark bits (bit p of word 12 + p//32 set
                       iff row 128*j + p is sampled, i.e. SA[row] %
-                      sa_rate == 0 — text sampling, SURVEY.md §3.3).
+                      sa_rate == 0 — text sampling, SURVEY.md §3.3),
+        word  16      mark_rank_ck[j]: number of sampled rows < 128*j,
+        words 17..20  OccCk[j+1][c]  (next block's checkpoints),
+        words 21..28  block j+1's BWT bases,
+        words 29..31  pad.
       Row n_blocks is a terminator: full-text Occ counts, zero bits.
-
-  mark_rank_ck : int32[n_blocks + 1] — number of sampled rows < 128*j
-      (checkpointed rank over the mark bits; in-block rank is a popcount
-      of masked mark words).
 
   ssa : int32[n_sampled] — SA values of sampled rows, in row order;
       ssa[mark_rank(r)] == SA[r] for sampled r.
@@ -52,11 +55,14 @@ from bwtpu.config import EngineConfig
 from bwtpu.io import Contig
 
 BLOCK = 128  # bases per Occ checkpoint block (fixed by the layout)
-REC_WORDS = 16  # int32 words per search-lattice record
+REC_WORDS = 32  # int32 words per search-lattice record
 BWT_WORD0 = 4  # first packed-BWT word in a record
 MARK_WORD0 = 12  # first mark word in a record
+MARK_RANK_WORD = 16  # in-record mark-rank checkpoint
+NEXT_CK0 = 17  # next block's Occ checkpoints
+NEXT_BWT0 = 21  # next block's packed BWT words
 
-FORMAT_VERSION = 3
+FORMAT_VERSION = 4
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:
@@ -206,13 +212,16 @@ def build_fm_index(
         for depth in sorted({dd for dd in (4, 8, d) if 0 < dd <= d})
     }
 
-    # Assemble the 16-word records.
+    # Assemble the 32-word records (self + next-block data interleaved).
     lattice = np.zeros((n_blocks + 1, REC_WORDS), dtype=np.int32)
     lattice[:, 0:4] = occ_ck.astype(np.int32)
     bwt_words = pack_2bit(padded.astype(np.uint8)).reshape(n_blocks, 8)
     lattice[:n_blocks, BWT_WORD0 : BWT_WORD0 + 8] = bwt_words
     mark_words = pack_bits(marked_padded).reshape(n_blocks, 4)
     lattice[:n_blocks, MARK_WORD0 : MARK_WORD0 + 4] = mark_words
+    lattice[:, MARK_RANK_WORD] = mark_rank_ck.astype(np.int32)
+    lattice[:n_blocks, NEXT_CK0 : NEXT_CK0 + 4] = occ_ck[1:].astype(np.int32)
+    lattice[: n_blocks - 1, NEXT_BWT0 : NEXT_BWT0 + 8] = bwt_words[1:]
 
     return FMIndex(
         config=config,

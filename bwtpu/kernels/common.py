@@ -12,9 +12,12 @@ import numpy as np
 
 BLOCK = 128
 LOG2_BLOCK = 7
-REC_WORDS = 16
+REC_WORDS = 32
 BWT_WORD0 = 4
 MARK_WORD0 = 12
+MARK_RANK_WORD = 16
+NEXT_CK0 = 17
+NEXT_BWT0 = 21
 
 
 def popcount32(x: jnp.ndarray) -> jnp.ndarray:
@@ -139,3 +142,34 @@ def reverse_complement_reads(
     ra = jnp.take_along_axis(amb, safe, axis=1)
     pad = idx < 0
     return jnp.where(pad, 0, rc), jnp.where(pad, 0, ra)
+
+
+def occ_pair_from_record(rec, dollar_row, c, sp, ep):
+    """Occ(c, sp) and Occ(c, ep) from the SINGLE record of block sp>>7.
+
+    Valid whenever ep >> 7 is sp's block or the next one (always true
+    once ep - sp <= 128); otherwise the lane is a "straggler" and the
+    returned occ_ep is garbage — the strag flag tells the caller to fix
+    that lane up with the two-gather path (docs/DESIGN.md).
+    Returns (occ_sp, occ_ep, strag).
+    """
+    j = sp >> LOG2_BLOCK
+    jep = ep >> LOG2_BLOCK
+    ck_j = jnp.take_along_axis(rec[:, 0:4], c[:, None], axis=1)[:, 0]
+    bwt_j = rec[:, BWT_WORD0 : BWT_WORD0 + 8]
+    occ_sp = ck_j + block_rank(bwt_j, c, sp & (BLOCK - 1))
+    occ_sp -= (
+        (c == 0) & ((dollar_row >> LOG2_BLOCK) == j) & (dollar_row < sp)
+    ).astype(jnp.int32)
+
+    mep = ep & (BLOCK - 1)
+    in_j = jep == j
+    occ_ep_j = ck_j + block_rank(bwt_j, c, mep)
+    ck_n = jnp.take_along_axis(rec[:, NEXT_CK0 : NEXT_CK0 + 4], c[:, None], axis=1)[:, 0]
+    occ_ep_n = ck_n + block_rank(rec[:, NEXT_BWT0 : NEXT_BWT0 + 8], c, mep)
+    occ_ep = jnp.where(in_j, occ_ep_j, occ_ep_n)
+    occ_ep -= (
+        (c == 0) & ((dollar_row >> LOG2_BLOCK) == jep) & (dollar_row < ep)
+    ).astype(jnp.int32)
+    strag = jep > j + 1
+    return occ_sp, occ_ep, strag

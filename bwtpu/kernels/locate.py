@@ -22,8 +22,7 @@ from bwtpu.kernels import common
 
 @partial(jax.jit, static_argnames=("sa_rate", "backend"))
 def locate_rows(
-    lattice: jnp.ndarray,  # int32[n_blocks+1, 16]
-    mark_rank_ck: jnp.ndarray,  # int32[n_blocks+1]
+    lattice: jnp.ndarray,  # int32[n_blocks+1, 32]
     ssa: jnp.ndarray,  # int32[n_sampled]
     C: jnp.ndarray,  # int32[8]
     dollar_row: jnp.ndarray,  # int32 scalar
@@ -47,14 +46,13 @@ def locate_rows(
         if backend == "pallas":
             from bwtpu.kernels.pallas_step import locate_step_pallas
 
-            rank_ck = jnp.take(mark_rank_ck, j)
             r2, done2, rank2, steps2 = locate_step_pallas(
-                rec, rank_ck, r, done, rank_out, steps_out, t, C, dollar_row
+                rec, r, done, rank_out, steps_out, t, C, dollar_row
             )
             return r2, done2, rank2, steps2
         bit, inrank = common.mark_bit_and_rank(rec, m)
         found = (bit == 1) & ~done
-        rank = jnp.take(mark_rank_ck, j) + inrank
+        rank = rec[:, common.MARK_RANK_WORD] + inrank
         rank_out = jnp.where(found, rank, rank_out)
         steps_out = jnp.where(found, t, steps_out)
         done = done | found

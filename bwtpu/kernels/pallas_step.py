@@ -122,7 +122,7 @@ def search_step_pallas(rec_sp, rec_ep, c, amb, active, sp, ep, C8, dollar_row):
         [dollar_row.reshape(1), C8[1:5].astype(jnp.int32)]
     )
     grid = (Rp // LANE,)
-    rec_spec = pl.BlockSpec((LANE, 16), lambda i, s: (i, 0), memory_space=pltpu.VMEM)
+    rec_spec = pl.BlockSpec((LANE, 32), lambda i, s: (i, 0), memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((LANE,), lambda i, s: (i,), memory_space=pltpu.VMEM)
     sp2, ep2 = pl.pallas_call(
         _search_step_kernel,
@@ -141,12 +141,70 @@ def search_step_pallas(rec_sp, rec_ep, c, amb, active, sp, ep, C8, dollar_row):
     return sp2[:R], ep2[:R]
 
 
+def _search_step1_kernel(scalars_ref, rec_ref, c_ref, amb_ref, act_ref,
+                         sp_ref, ep_ref, sp_out, ep_out, strag_out):
+    dollar = scalars_ref[0]
+    sp, ep = sp_ref[:], ep_ref[:]
+    c = c_ref[:]
+    rec = rec_ref[:]
+    cbase = jnp.where(
+        c == 0, scalars_ref[1],
+        jnp.where(c == 1, scalars_ref[2],
+                  jnp.where(c == 2, scalars_ref[3], scalars_ref[4])),
+    )
+    j = sp >> 7
+    jep = ep >> 7
+    ck_j = _select4(rec, c)
+    bwt_j = rec[:, 4:12].astype(jnp.uint32)
+    o_sp = ck_j + _swar_rank(bwt_j, c, sp & 127)
+    o_sp -= ((c == 0) & ((dollar >> 7) == j) & (dollar < sp)).astype(jnp.int32)
+    mep = ep & 127
+    o_ep_j = ck_j + _swar_rank(bwt_j, c, mep)
+    ck_n = rec[:, 17]
+    for v in (1, 2, 3):
+        ck_n = jnp.where(c == v, rec[:, 17 + v], ck_n)
+    o_ep_n = ck_n + _swar_rank(rec[:, 21:29].astype(jnp.uint32), c, mep)
+    o_ep = jnp.where(jep == j, o_ep_j, o_ep_n)
+    o_ep -= ((c == 0) & ((dollar >> 7) == jep) & (dollar < ep)).astype(jnp.int32)
+
+    amb = amb_ref[:]
+    sp_new = jnp.where(amb == 1, 0, cbase + o_sp)
+    ep_new = jnp.where(amb == 1, 0, cbase + o_ep)
+    act = act_ref[:]
+    sp_out[:] = jnp.where(act == 1, sp_new, sp)
+    ep_out[:] = jnp.where(act == 1, ep_new, ep)
+    strag_out[:] = ((act == 1) & (jep > j + 1)).astype(jnp.int32)
+
+
+def search_step1_pallas(rec, c, amb, active, sp, ep, C8, dollar_row):
+    """Fused single-record search step; returns (sp2, ep2, strag int32)."""
+    R = sp.shape[0]
+    args = [rec, c, amb, active.astype(jnp.int32), sp, ep]
+    args = [_pad_rows(a, LANE) for a in args]
+    Rp = args[1].shape[0]
+    scalars = jnp.concatenate([dollar_row.reshape(1), C8[1:5].astype(jnp.int32)])
+    rec_spec = pl.BlockSpec((LANE, 32), lambda i, s: (i, 0), memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((LANE,), lambda i, s: (i,), memory_space=pltpu.VMEM)
+    sp2, ep2, strag = pl.pallas_call(
+        _search_step1_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(Rp // LANE,),
+            in_specs=[rec_spec] + [vec_spec] * 5,
+            out_specs=[vec_spec] * 3,
+        ),
+        out_shape=[jax.ShapeDtypeStruct((Rp,), jnp.int32)] * 3,
+        interpret=_interpret(),
+    )(scalars, *args)
+    return sp2[:R], ep2[:R], strag[:R]
+
+
 # ---------------------------------------------------------------------------
 # locate step
 # ---------------------------------------------------------------------------
 
 
-def _locate_step_kernel(scalars_ref, rec_ref, rank_ck_ref, r_ref, done_ref,
+def _locate_step_kernel(scalars_ref, rec_ref, r_ref, done_ref,
                         rank_out_ref, steps_out_ref,
                         r_out, done_out, rank_out2, steps_out2):
     dollar = scalars_ref[0]
@@ -170,7 +228,7 @@ def _locate_step_kernel(scalars_ref, rec_ref, rank_ck_ref, r_ref, done_ref,
     inrank = jnp.sum(_popcount(words & masks), axis=1)
 
     found = (bit == 1) & (done == 0)
-    rank = rank_ck_ref[:] + inrank
+    rank = rec[:, 16] + inrank
     rank_out2[:] = jnp.where(found, rank, rank_out_ref[:])
     steps_out2[:] = jnp.where(found, t, steps_out_ref[:])
     done_new = jnp.where(found, 1, done)
@@ -195,24 +253,24 @@ def _locate_step_kernel(scalars_ref, rec_ref, rank_ck_ref, r_ref, done_ref,
     r_out[:] = jnp.where(done_new == 1, r, lf)
 
 
-def locate_step_pallas(rec, rank_ck, r, done, rank_out, steps_out, t, C8,
+def locate_step_pallas(rec, r, done, rank_out, steps_out, t, C8,
                        dollar_row):
     R = r.shape[0]
-    args = [rec, rank_ck, r, done.astype(jnp.int32), rank_out, steps_out]
+    args = [rec, r, done.astype(jnp.int32), rank_out, steps_out]
     args = [_pad_rows(a, LANE) for a in args]
     Rp = args[1].shape[0]
     scalars = jnp.concatenate(
         [dollar_row.reshape(1), C8[1:5].astype(jnp.int32),
          jnp.asarray(t, jnp.int32).reshape(1)]
     )
-    rec_spec = pl.BlockSpec((LANE, 16), lambda i, s: (i, 0), memory_space=pltpu.VMEM)
+    rec_spec = pl.BlockSpec((LANE, 32), lambda i, s: (i, 0), memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((LANE,), lambda i, s: (i,), memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         _locate_step_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(Rp // LANE,),
-            in_specs=[rec_spec] + [vec_spec] * 5,
+            in_specs=[rec_spec] + [vec_spec] * 4,
             out_specs=[vec_spec] * 4,
         ),
         out_shape=[jax.ShapeDtypeStruct((Rp,), jnp.int32)] * 4,

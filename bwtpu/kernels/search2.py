@@ -38,8 +38,11 @@ def backward_search_ra(
     lens: jnp.ndarray,  # int32[B]; caller guarantees lens >= d or len==0
     d: int,
     backend: str = "jnp",
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns per-read half-open (sp, ep), int32[B] each."""
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (sp, ep, fixup_overflow): per-read half-open interval
+    plus the number of straggler lanes beyond fixup capacity (those
+    lanes are forced empty rather than returning garbage; the count is
+    propagated so callers can surface it — no silent caps)."""
     B, L = ra_codes.shape
     if d > 0:
         # key of the last d bases (static slice thanks to right alignment)
@@ -59,31 +62,102 @@ def backward_search_ra(
         sp0 = jnp.zeros(B, dtype=jnp.int32)
         ep0 = jnp.where(lens == 0, 0, jnp.full(B, 1, jnp.int32) * n.astype(jnp.int32))
 
+    # Mainline: ONE record gather per step serves both bounds (the
+    # record carries block j and j+1 data); lanes whose interval is
+    # still wider than 128 at some step are flagged stragglers and
+    # fixed up afterwards with the two-gather path on a compacted
+    # mini-batch (docs/DESIGN.md).
     def step(t, state):
-        sp, ep = state
+        sp, ep, strag = state
         pos = L - 1 - d - t  # uniform position; lane active while in-read
         c = ra_codes[:, pos]
         a = ra_amb[:, pos]
         active = pos >= (L - lens)
         if backend == "pallas":
-            from bwtpu.kernels.pallas_step import search_step_pallas
+            from bwtpu.kernels.pallas_step import search_step1_pallas
 
-            rec_sp = jnp.take(lattice, sp >> 7, axis=0)
-            rec_ep = jnp.take(lattice, ep >> 7, axis=0)
-            return search_step_pallas(
-                rec_sp, rec_ep, c, a, active, sp, ep, C, dollar_row
+            rec = jnp.take(lattice, sp >> 7, axis=0)
+            sp2, ep2, s2 = search_step1_pallas(
+                rec, c, a, active, sp, ep, C, dollar_row
             )
-        both = jnp.concatenate([sp, ep])
-        o = common.occ(lattice, dollar_row, jnp.concatenate([c, c]), both)
+            return sp2, ep2, strag | (s2 == 1)
+        rec = jnp.take(lattice, sp >> 7, axis=0)
+        o_sp, o_ep, s2 = common.occ_pair_from_record(rec, dollar_row, c, sp, ep)
+        cbase = jnp.take(C, c + 1)
+        sp_new = jnp.where(a == 1, 0, cbase + o_sp)
+        ep_new = jnp.where(a == 1, 0, cbase + o_ep)
+        sp = jnp.where(active, sp_new, sp)
+        ep = jnp.where(active, ep_new, ep)
+        return sp, ep, strag | (active & s2)
+
+    strag0 = jnp.zeros(B, dtype=bool)
+    sp, ep, strag = jax.lax.fori_loop(0, L - d, step, (sp0, ep0, strag0))
+    return _fixup_stragglers(
+        lattice, C, dollar_row, kmer_table, ra_codes, ra_amb, lens,
+        sp0, ep0, sp, ep, strag, d,
+    )
+
+
+def _two_gather_search(lattice, C, dollar_row, ra_codes, ra_amb, lens,
+                       sp0, ep0, d):
+    """Reference two-gather loop (always correct, any interval width)."""
+    B, L = ra_codes.shape
+
+    def step(t, state):
+        sp, ep = state
+        pos = L - 1 - d - t
+        c = ra_codes[:, pos]
+        a = ra_amb[:, pos]
+        active = pos >= (L - lens)
+        o = common.occ(
+            lattice, dollar_row, jnp.concatenate([c, c]), jnp.concatenate([sp, ep])
+        )
         cbase = jnp.take(C, c + 1)
         sp_new = jnp.where(a == 1, 0, cbase + o[:B])
         ep_new = jnp.where(a == 1, 0, cbase + o[B:])
-        sp = jnp.where(active, sp_new, sp)
-        ep = jnp.where(active, ep_new, ep)
+        return (
+            jnp.where(active, sp_new, sp),
+            jnp.where(active, ep_new, ep),
+        )
+
+    return jax.lax.fori_loop(0, L - d, step, (sp0, ep0))
+
+
+def _fixup_stragglers(lattice, C, dollar_row, kmer_table, ra_codes, ra_amb,
+                      lens, sp0, ep0, sp, ep, strag, d):
+    """Re-run flagged lanes with the two-gather path (compacted)."""
+    from bwtpu.kernels.compact import compact
+
+    B, L = ra_codes.shape
+    cap = max(256, B // 8)
+    sel, count, overflow = compact(strag, cap)
+    n_strag = jnp.sum(strag.astype(jnp.int32))
+
+    def fixup(args):
+        sp, ep = args
+        mini_ra = jnp.take(ra_codes, sel, axis=0)
+        mini_amb = jnp.take(ra_amb, sel, axis=0)
+        in_sel = jnp.arange(cap, dtype=jnp.int32) < count
+        mini_lens = jnp.where(in_sel, jnp.take(lens, sel), 0)
+        msp0 = jnp.take(sp0, sel)
+        mep0 = jnp.where(in_sel, jnp.take(ep0, sel), 0)
+        msp, mep = _two_gather_search(
+            lattice, C, dollar_row, mini_ra, mini_amb, mini_lens, msp0, mep0, d
+        )
+        slot = jnp.where(in_sel, sel, B)  # drop beyond count
+        sp = sp.at[slot].set(msp, mode="drop")
+        ep = ep.at[slot].set(mep, mode="drop")
         return sp, ep
 
-    sp, ep = jax.lax.fori_loop(0, L - d, step, (sp0, ep0))
-    return sp, ep
+    sp, ep = jax.lax.cond(n_strag > 0, fixup, lambda a: a, (sp, ep))
+    # Lanes the fixup could not cover (capacity overflow) would be
+    # wrong: force them empty rather than return garbage and surface
+    # the count. (overflow > 0 is pathological: > B/8 lanes all sitting
+    # on > 128-wide repeat intervals.)
+    over_lane = strag & (jnp.cumsum(strag.astype(jnp.int32)) > cap)
+    sp = jnp.where(over_lane, 0, sp)
+    ep = jnp.where(over_lane, 0, ep)
+    return sp, ep, overflow
 
 
 def right_align(codes: np.ndarray, amb: np.ndarray, lens: np.ndarray):

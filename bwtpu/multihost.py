@@ -1,0 +1,123 @@
+"""Multi-host launch scaffolding (SURVEY.md §3.5, §5.8 — config 5 scale).
+
+Each host of a v5e/v5p pod slice runs the SAME program:
+
+    python -m bwtpu.multihost --coordinator host0:8476 \
+        --num-processes H --process-id h --index idx/ --reads reads_h.fq
+
+jax.distributed.initialize() brings up the process group over DCN;
+jax.devices() then spans the whole slice and the ('shard', 'data') mesh
+in bwtpu.dist lays shards within hosts so ring hops ride ICI while the
+'data' axis spans hosts (each host ingests its own read stream — the
+reference's per-worker read fan-out, C16/C17, re-expressed as
+data-parallel ingestion).
+
+Per-host output: each host writes SAM records for ITS OWN reads
+(out.h<process_id>.sam); a rank-0 merge is a plain concatenation since
+read batches are disjoint. Deterministic batch order + the cursor file
+(cli.py) give restartability (SURVEY.md §5.3).
+
+Collective-deadlock safety (SURVEY.md §5.2): every host must call
+align_batch the same number of times with the same shapes; the driver
+below pads each host's final partial batch to the common batch size and
+runs max_batches = max over hosts (hosts with fewer reads contribute
+empty batches), exchanged up front with a cheap process-group
+all-gather of batch counts.
+
+This module is exercised single-process in tests (the mesh logic is
+identical — SURVEY.md §4.2.4); a real pod slice is required to run it
+multi-process, which this environment does not provide.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def initialize(coordinator: str | None, num_processes: int, process_id: int):
+    import jax
+
+    if num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.devices()
+
+
+def run(args):
+    import jax
+    import numpy as np
+
+    from bwtpu.dist import DistEngine
+    from bwtpu.index import load_index
+    from bwtpu.io import read_reads
+    from bwtpu.sam import emit_sam, sam_header
+
+    initialize(args.coordinator, args.num_processes, args.process_id)
+    shards, manifest = load_index(args.index)
+    n_dev = len(jax.devices())
+    S = len(shards)
+    if n_dev % S != 0:
+        raise SystemExit(f"{n_dev} devices not divisible by {S} shards")
+    eng = DistEngine(shards, manifest, n_data=n_dev // S)
+
+    reads = read_reads(args.reads)
+    bs = args.batch_size
+    n_batches = -(-len(reads) // bs)
+    # agree on a common batch count so every host issues the same
+    # number of collectives (empty batches are padded internally)
+    if args.num_processes > 1:
+        from jax.experimental import multihost_utils
+
+        counts = multihost_utils.process_allgather(np.array([n_batches]))
+        n_batches = int(counts.max())
+
+    out_path = (
+        args.out
+        if args.num_processes == 1
+        else f"{args.out}.h{args.process_id}"
+    )
+    t0 = time.time()
+    total = 0
+    with open(out_path, "w") as out:
+        if args.process_id == 0 or args.num_processes > 1:
+            out.write(sam_header(manifest.contigs))
+        for bi in range(n_batches):
+            chunk = reads[bi * bs : (bi + 1) * bs]
+            pad = chunk or [reads[0]]  # empty batch: align a dummy, drop output
+            hits = eng.align_batch(pad, k=args.k)
+            if chunk:
+                emit_sam(chunk, hits[: len(chunk)], manifest.contigs, out,
+                         header=False)
+                total += len(chunk)
+    dt = time.time() - t0
+    print(
+        json.dumps({
+            "event": "host_summary", "process": args.process_id,
+            "reads": total, "reads_per_s": round(total / max(dt, 1e-9), 1),
+            "wall_s": round(dt, 2), "devices": n_dev,
+        }),
+        file=sys.stderr,
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--coordinator", default=None, help="host:port of process 0")
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--index", required=True)
+    p.add_argument("--reads", required=True, help="this host's read stream")
+    p.add_argument("--out", default="out.sam")
+    p.add_argument("-k", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=4096)
+    run(p.parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

@@ -84,7 +84,7 @@ def test_locate_rows_matches_golden(setup):
     valid = rng.random(300) < 0.9
     got = np.asarray(
         locate_rows(
-            dev.lattice[0], dev.mark_rank_ck[0], dev.ssa[0], dev.C[0],
+            dev.lattice[0], dev.ssa[0], dev.C[0],
             dev.dollar_row[0], jnp.asarray(rows), jnp.asarray(valid),
             sa_rate=8,
         )

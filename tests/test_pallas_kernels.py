@@ -48,8 +48,8 @@ def test_search_step_pallas_matches_jnp(world, d):
     args = (shard.lattice, shard.C, shard.dollar_row, shard.n, kt,
             jnp.asarray(enc.ra_codes), jnp.asarray(enc.ra_amb),
             jnp.asarray(enc.lens))
-    sp_j, ep_j = backward_search_ra(*args, d, backend="jnp")
-    sp_p, ep_p = backward_search_ra(*args, d, backend="pallas")
+    sp_j, ep_j, _ = backward_search_ra(*args, d, backend="jnp")
+    sp_p, ep_p, _ = backward_search_ra(*args, d, backend="pallas")
     np.testing.assert_array_equal(np.asarray(sp_j), np.asarray(sp_p))
     np.testing.assert_array_equal(np.asarray(ep_j), np.asarray(ep_p))
 
@@ -59,7 +59,7 @@ def test_locate_step_pallas_matches_jnp(world):
     rng = np.random.default_rng(7)
     rows = rng.integers(0, idx.n, size=500).astype(np.int32)
     valid = rng.random(500) < 0.9
-    args = (shard.lattice, shard.mark_rank_ck, shard.ssa, shard.C,
+    args = (shard.lattice, shard.ssa, shard.C,
             shard.dollar_row, jnp.asarray(rows), jnp.asarray(valid))
     pj = locate_rows(*args, CFG.sa_rate, backend="jnp")
     pp = locate_rows(*args, CFG.sa_rate, backend="pallas")

@@ -1,0 +1,51 @@
+"""Banded Smith-Waterman (C19) tests: device batch vs Python oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from bwtpu import dna
+from bwtpu.sw import sw_score_batch, sw_score_reference
+
+
+def _batch_case(cases, band=8):
+    Lt = max(len(t) for t, r in cases)
+    L = max(len(r) for t, r in cases)
+    B = len(cases)
+    text = np.zeros((B, Lt), np.int32)
+    rd = np.zeros((B, L), np.int32)
+    tl = np.zeros(B, np.int32)
+    rl = np.zeros(B, np.int32)
+    for b, (t, r) in enumerate(cases):
+        text[b, : len(t)] = dna.encode(t)
+        rd[b, : len(r)] = dna.encode(r)
+        tl[b], rl[b] = len(t), len(r)
+    return sw_score_batch(
+        jnp.asarray(text), jnp.asarray(tl), jnp.asarray(rd), jnp.asarray(rl),
+        band=band,
+    )
+
+
+def test_sw_matches_reference_random():
+    rng = np.random.default_rng(0)
+    cases = []
+    for _ in range(40):
+        Lt = int(rng.integers(10, 60))
+        L = int(rng.integers(5, 40))
+        t = dna.decode(rng.integers(0, 4, Lt).astype(np.uint8))
+        r = dna.decode(rng.integers(0, 4, L).astype(np.uint8))
+        cases.append((t, r))
+    got = np.asarray(_batch_case(cases))
+    for (t, r), g in zip(cases, got):
+        assert int(g) == sw_score_reference(t, r), (t, r)
+
+
+def test_sw_exact_and_indel():
+    t = "ACGTACGTACGTACGTACGT"
+    # perfect match scores 2 * len
+    got = np.asarray(_batch_case([(t, t[4:14])]))[0]
+    assert int(got) == 2 * 10
+    # one deletion in the read: SW absorbs it with one gap
+    read = t[4:9] + t[10:15]  # 10 bases, 1 deleted
+    got2 = np.asarray(_batch_case([(t, read)]))[0]
+    assert int(got2) == 2 * 10 - 4  # 10 matches + one gap open
+    assert int(got2) == sw_score_reference(t, read)
