@@ -45,6 +45,7 @@ from bwtpu.kernels.search2 import backward_search_ra, right_align
 from bwtpu.kernels.verify2 import (NM_INVALID, build_text_rows,
                                    dedupe_quadratic, pack_reads,
                                    verify_packed)
+from bwtpu.kernels.verify import seed_layout
 
 log = logging.getLogger(__name__)
 
@@ -342,6 +343,93 @@ def inexact_pipeline(
 
 
 # ---------------------------------------------------------------------------
+# Device-side batch prep for uniform-length reads (minimal host->device
+# traffic: the relay moves ~55 MB/s, so the host ships only the 2-bit
+# packed forward reads (~0.5 MB per 8 K batch) and the device derives
+# codes, reverse complements, seeds and masks with static vector ops —
+# no gathers).
+# ---------------------------------------------------------------------------
+
+
+def _unpack_words(words: jnp.ndarray, L: int, step: int) -> jnp.ndarray:
+    """(B, W) packed words -> (B, L) fields of `step` bits at even slots."""
+    rep = jnp.repeat(words, 16, axis=1)[:, :L]
+    shifts = (2 * (np.arange(L) % 16)).astype(np.int32)
+    return (rep >> shifts) & ((1 << step) - 1)
+
+
+def _pack_words(vals: jnp.ndarray, W: int) -> jnp.ndarray:
+    """(B, L) 2-bit values -> (B, W) packed words (disjoint-bit sum)."""
+    B, L = vals.shape
+    pad = jnp.zeros((B, W * 16 - L), vals.dtype)
+    v = jnp.concatenate([vals, pad], axis=1).reshape(B, W, 16).astype(jnp.uint32)
+    shifts = (2 * np.arange(16, dtype=np.uint32))[None, None, :]
+    return jnp.sum(v << shifts, axis=2).astype(jnp.int32)
+
+
+def device_prep_uniform(read_words, amb_bits, L: int, k: int):
+    """Derive the full EncodedBatch-equivalent on device (uniform lens).
+
+    read_words/amb_bits: int32[B, W] forward-strand packed reads.
+    Returns (ra_codes2, ra_amb2, lens2, read_words2, amb_bits2,
+    len_mask2, seeds...) with both strands stacked, matching
+    encode_batch's layout exactly.
+    """
+    B, W = read_words.shape
+    codes = _unpack_words(read_words, L, 2)
+    amb = _unpack_words(amb_bits, L, 1)
+    rc = (3 - codes[:, ::-1]).astype(jnp.int32)
+    rca = amb[:, ::-1]
+    codes2 = jnp.concatenate([codes, rc])
+    amb2 = jnp.concatenate([amb, rca])
+    lens2 = jnp.full(2 * B, L, jnp.int32)
+    rw2 = jnp.concatenate([read_words, _pack_words(rc, W)])
+    ab2 = jnp.concatenate([amb_bits, _pack_words(rca, W)])
+    lm = _pack_words(jnp.ones((1, L), jnp.int32), W)
+    lm2 = jnp.broadcast_to(lm, (2 * B, W)).astype(jnp.int32)
+
+    seeds = None
+    if k > 0:
+        nS = k + 1
+        cap = -(-L // nS)
+        parts_c, parts_a, offs, slens = [], [], [], []
+        for off, slen in seed_layout(L, nS):
+            pad = jnp.zeros((2 * B, cap - slen), jnp.int32)
+            parts_c.append(jnp.concatenate([pad, codes2[:, off : off + slen]], axis=1))
+            parts_a.append(jnp.concatenate([pad, amb2[:, off : off + slen]], axis=1))
+            offs.append(off)
+            slens.append(slen)
+        seed_ra = jnp.stack(parts_c, axis=1).reshape(2 * B * nS, cap)
+        seed_amb = jnp.stack(parts_a, axis=1).reshape(2 * B * nS, cap)
+        seed_off = jnp.tile(jnp.asarray(offs, jnp.int32), (2 * B, 1)).reshape(-1)
+        seed_lens = jnp.tile(jnp.asarray(slens, jnp.int32), (2 * B, 1)).reshape(-1)
+        seeds = (seed_ra, seed_amb, seed_lens, seed_off)
+    return codes2, amb2, lens2, rw2, ab2, lm2, seeds
+
+
+def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
+                          sa_rate, loc_factor=2, backend="jnp"):
+    ra2, raa2, lens2, _, _, _, _ = device_prep_uniform(read_words, amb_bits, L, 0)
+    return exact_pipeline(
+        shard, ra2, raa2, lens2, d=d, max_hits=max_hits, sa_rate=sa_rate,
+        loc_factor=loc_factor, backend=backend,
+    )
+
+
+def inexact_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, max_loc,
+                            sa_rate, loc_factor=4, backend="jnp"):
+    _, _, lens2, rw2, ab2, lm2, seeds = device_prep_uniform(
+        read_words, amb_bits, L, k
+    )
+    seed_ra, seed_amb, seed_lens, seed_off = seeds
+    return inexact_pipeline(
+        shard, seed_ra, seed_amb, seed_lens, seed_off, rw2, ab2, lm2, lens2,
+        k=k, d=d, max_loc=max_loc, sa_rate=sa_rate, loc_factor=loc_factor,
+        backend=backend,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Engine (host orchestration)
 # ---------------------------------------------------------------------------
 
@@ -387,9 +475,11 @@ class Engine:
                     loc_factor=cfg.loc_factor, backend=backend,
                 )
 
-            self._compiled[key] = jax.jit(
-                jax.vmap(per_shard, in_axes=(0, None, None, None))
-            )
+            # NOTE: shards are iterated, not vmapped — vmap over
+            # pallas_call rewrites 1-D block specs into shapes Mosaic
+            # rejects; shard lattices are padded to one common shape so
+            # a single compiled function serves every shard.
+            self._compiled[key] = jax.jit(per_shard)
         return self._compiled[key]
 
     def _inexact_fn(self, k: int, d: int):
@@ -404,49 +494,117 @@ class Engine:
                     loc_factor=cfg.loc_factor, backend=backend,
                 )
 
-            self._compiled[key] = jax.jit(
-                jax.vmap(
-                    per_shard,
-                    in_axes=(0,) + (None,) * 8,
-                )
-            )
+            self._compiled[key] = jax.jit(per_shard)
         return self._compiled[key]
+
+    def dispatch_batch(self, reads: list[Read], k: int):
+        """Encode + launch device work for one batch; returns a handle.
+
+        Device results stay on-device until finish_batch — callers can
+        keep several batches in flight to hide dispatch latency (the
+        TPU executes in order; the relay adds large per-sync latency,
+        docs/DESIGN.md). Uniform-length batches take the packed fast
+        path: only 2-bit packed forward reads cross the host-device
+        link (~0.5 MB / 8 K reads); everything else is derived on
+        device (device_prep_uniform).
+        """
+        shard = self.dev.shard
+        S = self.dev.n_shards
+        shard_outs = []
+        L = len(reads[0].seq) if reads else 0
+        # packed fast path: all reads one length, and the prebuilt text
+        # window rows (sized by config.read_len) are wide enough
+        if reads and 0 < L <= self.config.read_len and all(
+            len(r.seq) == L for r in reads
+        ):
+            B = len(reads)
+            c, m = dna.encode_with_mask("".join(r.seq for r in reads))
+            codes = c.reshape(B, L).astype(np.int32)
+            amb = m.reshape(B, L).astype(np.int32)
+            rw, ab, _ = pack_reads(codes, amb, np.full(B, L, np.int32))
+            if k == 0:
+                d = pick_kmer_depth(self.kmer_depths, L)
+                fn = self._packed_fn("exact", k, d, L)
+            else:
+                d = pick_kmer_depth(self.kmer_depths, L // (k + 1))
+                fn = self._packed_fn("inexact", k, d, L)
+            for s in range(S):
+                sh_s = jax.tree.map(lambda x: x[s], shard)
+                shard_outs.append(fn(sh_s, rw, ab))
+            return (reads, B, k, shard_outs, time.perf_counter())
+
+        enc, B = encode_batch(self.config, reads, k)
+        if k == 0:
+            d = pick_kmer_depth(self.kmer_depths, enc.min_len)
+            fn = self._exact_fn(d)
+            for s in range(S):
+                sh_s = jax.tree.map(lambda x: x[s], shard)
+                shard_outs.append(fn(sh_s, enc.ra_codes, enc.ra_amb, enc.lens))
+        else:
+            d = pick_kmer_depth(self.kmer_depths, enc.min_seed_len)
+            fn = self._inexact_fn(k, d)
+            for s in range(S):
+                sh_s = jax.tree.map(lambda x: x[s], shard)
+                shard_outs.append(
+                    fn(
+                        sh_s, enc.seed_ra, enc.seed_amb, enc.seed_lens,
+                        enc.seed_off, enc.read_words, enc.amb_bits,
+                        enc.len_mask, enc.lens,
+                    )
+                )
+        return (reads, B, k, shard_outs, time.perf_counter())
+
+    def _packed_fn(self, kind: str, k: int, d: int, L: int):
+        key = ("packed", kind, k, d, L, self.config.max_hits, self.config.max_cand)
+        if key not in self._compiled:
+            cfg, backend = self.config, self.backend
+            if kind == "exact":
+
+                def fn(shard, rw, ab):
+                    return exact_pipeline_packed(
+                        shard, rw, ab, L=L, d=d, max_hits=cfg.max_hits,
+                        sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor,
+                        backend=backend,
+                    )
+            else:
+
+                def fn(shard, rw, ab):
+                    return inexact_pipeline_packed(
+                        shard, rw, ab, L=L, k=k, d=d, max_loc=cfg.max_cand,
+                        sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor,
+                        backend=backend,
+                    )
+            self._compiled[key] = jax.jit(fn)
+        return self._compiled[key]
+
+    def finish_batch(self, handle) -> list[list[Hit]]:
+        reads, B, k, shard_outs, t_disp = handle
+        t1 = time.perf_counter()
+        if k == 0:
+            pos = np.stack([np.asarray(o[0]) for o in shard_outs])
+            valid = np.stack([np.asarray(o[1]) for o in shard_outs])
+            overflow = np.stack([np.asarray(o[2]) for o in shard_outs])
+            nm = None
+            compact_over = sum(int(np.asarray(o[3])) for o in shard_outs)
+        else:
+            pos = np.stack([np.asarray(o[0]) for o in shard_outs])
+            nm = np.stack([np.asarray(o[1]) for o in shard_outs])
+            valid = np.stack([np.asarray(o[2]) for o in shard_outs])
+            overflow = np.stack([np.asarray(o[3]) for o in shard_outs])
+            compact_over = sum(
+                int(np.asarray(o[4])) + int(np.asarray(o[5])) for o in shard_outs
+            )
+        self.stats.device_s += time.perf_counter() - t_disp
+        return self._assemble(reads, B, pos, nm, valid, overflow, compact_over, t1)
 
     def align_batch(self, reads: list[Read], k: int | None = None) -> list[list[Hit]]:
         if not reads:
             return []
         k = self.config.k if k is None else k
-        t0 = time.perf_counter()
-        enc, B = encode_batch(self.config, reads, k)
-        shard = self.dev.shard
+        handle = self.dispatch_batch(reads, k)
+        return self.finish_batch(handle)
 
-        if k == 0:
-            d = pick_kmer_depth(self.kmer_depths, enc.min_len)
-            fn = self._exact_fn(d)
-            pos, valid, overflow, loc_over = jax.block_until_ready(
-                fn(shard, enc.ra_codes, enc.ra_amb, enc.lens)
-            )
-            nm = None
-            compact_over = int(np.asarray(loc_over).sum())
-        else:
-            d = pick_kmer_depth(self.kmer_depths, enc.min_seed_len)
-            fn = self._inexact_fn(k, d)
-            pos, nm, valid, overflow, loc_over, ver_over = jax.block_until_ready(
-                fn(
-                    shard, enc.seed_ra, enc.seed_amb, enc.seed_lens,
-                    enc.seed_off, enc.read_words, enc.amb_bits, enc.len_mask,
-                    enc.lens,
-                )
-            )
-            nm = np.asarray(nm)
-            compact_over = int(np.asarray(loc_over).sum()) + int(
-                np.asarray(ver_over).sum()
-            )
-        t1 = time.perf_counter()
-
-        pos = np.asarray(pos)  # (S, 2B, H)
-        valid = np.asarray(valid)
-        overflow = np.asarray(overflow)
+    def _assemble(self, reads, B, pos, nm, valid, overflow, compact_over, t1):
         if compact_over:
             log.warning(
                 "align_batch: compaction capacity overflowed by %d rows; "
@@ -455,8 +613,8 @@ class Engine:
             )
         out = assemble_hits(
             reads, B, pos, nm, valid,
-            [int(x) for x in np.asarray(jax.device_get(shard.text_len))],
-            [int(o) for o in self.dev.shard_offsets],
+            [sh.text_len for sh in self.shards],
+            [sh.shard_offset for sh in self.shards],
         )
         n_over = int((overflow.sum(axis=0) > 0).sum())
         if n_over:
@@ -470,17 +628,28 @@ class Engine:
         self.stats.hits += sum(len(h) for h in out)
         self.stats.overflow_reads += n_over
         self.stats.compact_overflows += compact_over
-        self.stats.device_s += t1 - t0
         self.stats.host_s += t2 - t1
         return out
 
     def align_all(
-        self, reads: list[Read], k: int | None = None, batch_size: int | None = None
+        self,
+        reads: list[Read],
+        k: int | None = None,
+        batch_size: int | None = None,
+        pipeline_depth: int = 3,
     ) -> list[list[Hit]]:
+        """Streamed alignment with `pipeline_depth` batches in flight
+        (hides per-sync dispatch latency; SURVEY.md §7.6 item 5)."""
+        k = self.config.k if k is None else k
         bs = batch_size or self.config.batch_size
         out: list[list[Hit]] = []
+        inflight: list = []
         for i in range(0, len(reads), bs):
-            out.extend(self.align_batch(reads[i : i + bs], k=k))
+            inflight.append(self.dispatch_batch(reads[i : i + bs], k))
+            if len(inflight) > pipeline_depth:
+                out.extend(self.finish_batch(inflight.pop(0)))
+        while inflight:
+            out.extend(self.finish_batch(inflight.pop(0)))
         return out
 
 

@@ -189,28 +189,37 @@ def build_fm_index(
     if d is None:
         d = min(12, max(0, int(np.log(max(n, 2)) / np.log(4))))
 
-    def kmer_table_at(depth: int) -> np.ndarray:
-        sym_padded = np.zeros(n + depth, dtype=np.int64)
-        sym_padded[:n] = symbols
-        key = np.zeros(n, dtype=np.int64)
-        for i in range(depth):
-            key = key * 5 + sym_padded[sa + i]
-        qk = np.zeros(4**depth, dtype=np.int64)
-        for i in range(depth):
-            digit = (np.arange(4**depth, dtype=np.int64) >> (2 * (depth - 1 - i))) & 3
-            qk = qk * 5 + digit + 1
-        lo = np.searchsorted(key, qk, side="left")
-        hi = np.searchsorted(key, qk, side="right")
-        return np.stack([lo, hi], axis=1).astype(np.int32)
-
     # Ladder of start tables at bucket depths so short patterns (seeds,
     # short reads) also start from a table lookup without losing the
     # suffixes-shorter-than-d corner cases (each depth gets its own
-    # exact table; sizes 256 B .. 4^d * 8 B).
-    kmer_tables = {
-        depth: kmer_table_at(depth)
-        for depth in sorted({dd for dd in (4, 8, d) if 0 < dd <= d})
-    }
+    # exact table; sizes 256 B .. 4^d * 8 B). Suffix keys are computed
+    # ONCE at max depth; shallower keys are the integer quotient
+    # (order-preserving), saving the per-depth gather passes.
+    depths = sorted({dd for dd in (4, 8, d) if 0 < dd <= d})
+    kmer_tables = {}
+    if depths:
+        dmax = depths[-1]
+        sym_padded = np.zeros(n + dmax, dtype=np.int64)
+        sym_padded[:n] = symbols
+        # text-ordered keys via SEQUENTIAL shifted slices (the naive
+        # per-digit formulation does dmax random 11 M-element gathers —
+        # cache-miss bound, ~14 s/shard measured), then ONE gather into
+        # suffix-array order.
+        tkey = np.zeros(n, dtype=np.int64)
+        for i in range(dmax):
+            tkey += sym_padded[i : i + n] * 5 ** (dmax - 1 - i)
+        key = tkey[sa]
+        for depth in depths:
+            kd = key // (5 ** (dmax - depth)) if depth != dmax else key
+            qk = np.zeros(4**depth, dtype=np.int64)
+            for i in range(depth):
+                digit = (
+                    np.arange(4**depth, dtype=np.int64) >> (2 * (depth - 1 - i))
+                ) & 3
+                qk = qk * 5 + digit + 1
+            lo = np.searchsorted(kd, qk, side="left")
+            hi = np.searchsorted(kd, qk, side="right")
+            kmer_tables[depth] = np.stack([lo, hi], axis=1).astype(np.int32)
 
     # Assemble the 32-word records (self + next-block data interleaved).
     lattice = np.zeros((n_blocks + 1, REC_WORDS), dtype=np.int32)
