@@ -34,8 +34,9 @@ def main():
     import jax
 
     from bwtpu.config import EngineConfig
-    from bwtpu.engine import (encode_batch, exact_pipeline, inexact_pipeline,
-                              pick_kmer_depth, upload_index)
+    from bwtpu.engine import (exact_pipeline_packed, inexact_pipeline_packed,
+                              pack_reads_for_bench, pick_kmer_depth,
+                              upload_index)
     from bwtpu.golden import GoldenFMIndex
     from bwtpu.index import build_fm_index
     from bwtpu.simulate import ECOLI_SCALE, random_genome, simulate_reads
@@ -61,22 +62,20 @@ def main():
         rds, _ = simulate_reads(genome, B, read_len=100, max_mismatches=2,
                                 seed=2 + i)
         reads = reads or rds
-        enc, _ = encode_batch(cfg, rds, k=2)
-        encs.append(jax.tree.map(
-            lambda x: jax.device_put(x) if isinstance(x, np.ndarray) else x, enc
-        ))
+        rw, ab = pack_reads_for_bench(rds)
+        encs.append((jax.device_put(rw), jax.device_put(ab)))
     timings["encode_upload_s"] = round(time.time() - t0, 1)
 
     # --- exact (config 1) ---
     d = pick_kmer_depth(depths, 100)
     fx = jax.jit(functools.partial(
-        exact_pipeline, d=d, max_hits=cfg.max_hits, sa_rate=cfg.sa_rate,
-        loc_factor=cfg.loc_factor))
-    np.asarray(fx(shard0, encs[0].ra_codes, encs[0].ra_amb, encs[0].lens)[0])
+        exact_pipeline_packed, L=100, d=d, max_hits=cfg.max_hits,
+        sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor))
+    np.asarray(fx(shard0, *encs[0])[0])
     exact_rps = 0.0
     for _ in range(2):  # best-of-2: the relay sporadically stalls for tens of s
         t0 = time.time()
-        outs = [fx(shard0, e.ra_codes, e.ra_amb, e.lens) for e in encs]
+        outs = [fx(shard0, *e) for e in encs]
         for o in outs:
             np.asarray(o[0][:64])
         exact_rps = max(exact_rps, B * n_batches / (time.time() - t0))
@@ -84,20 +83,13 @@ def main():
     # --- inexact k=2 (config 2) ---
     d_seed = pick_kmer_depth(depths, 100 // 3)
     fi = jax.jit(functools.partial(
-        inexact_pipeline, k=2, d=d_seed, max_loc=cfg.max_cand,
+        inexact_pipeline_packed, L=100, k=2, d=d_seed, max_loc=cfg.max_cand,
         sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor))
-    np.asarray(
-        fi(shard0, encs[0].seed_ra, encs[0].seed_amb, encs[0].seed_lens,
-           encs[0].seed_off, encs[0].read_words, encs[0].amb_bits,
-           encs[0].len_mask, encs[0].lens)[1])
+    np.asarray(fi(shard0, *encs[0])[1])
     k2_rps = 0.0
     for _ in range(2):
         t0 = time.time()
-        outs = [
-            fi(shard0, e.seed_ra, e.seed_amb, e.seed_lens, e.seed_off,
-               e.read_words, e.amb_bits, e.len_mask, e.lens)
-            for e in encs
-        ]
+        outs = [fi(shard0, *e) for e in encs]
         for o in outs:
             np.asarray(o[1][:64])
         k2_rps = max(k2_rps, B * n_batches / (time.time() - t0))

@@ -325,14 +325,27 @@ def plan_shards(total_len: int, n_shards: int, overlap: int) -> ShardManifest:
     )
 
 
+def _build_shard_job(args):
+    genome_part, config, contigs, start = args
+    return build_fm_index(
+        genome_part, config=config, contigs=contigs, shard_offset=start
+    )
+
+
 def build_sharded_index(
     genome: str,
     n_shards: int,
     config: EngineConfig | None = None,
     contigs: list[Contig] | None = None,
     overlap: int = 256,
+    jobs: int = 1,
 ) -> tuple[list[FMIndex], ShardManifest]:
-    """Split the genome into overlapping intervals, one FM-index each."""
+    """Split the genome into overlapping intervals, one FM-index each.
+
+    jobs > 1 builds shards in parallel processes (each shard build is
+    single-threaded NumPy/SA-IS; human-scale builds are embarrassingly
+    parallel across interval shards).
+    """
     config = config or EngineConfig()
     genome = dna.sanitize_genome(genome)
     if contigs is None:
@@ -346,16 +359,17 @@ def build_sharded_index(
         config = config.replace(
             kmer_d=min(12, max(0, int(np.log(min_n) / np.log(4))))
         )
-    shards = []
-    for start, length in zip(manifest.starts, manifest.lengths):
-        shards.append(
-            build_fm_index(
-                genome[start : start + length],
-                config=config,
-                contigs=contigs,
-                shard_offset=start,
-            )
-        )
+    work = [
+        (genome[start : start + length], config, contigs, start)
+        for start, length in zip(manifest.starts, manifest.lengths)
+    ]
+    if jobs > 1 and len(work) > 1:
+        import concurrent.futures as cf
+
+        with cf.ProcessPoolExecutor(max_workers=min(jobs, len(work))) as ex:
+            shards = list(ex.map(_build_shard_job, work))
+    else:
+        shards = [_build_shard_job(w) for w in work]
     return shards, manifest
 
 

@@ -48,7 +48,8 @@ def cmd_build_index(args):
     if n_shards == 0:  # auto: keep every shard under ~256 Mbp
         n_shards = max(1, -(-len(genome) // (256 * 10**6)))
     shards, manifest = build_sharded_index(
-        genome, n_shards, config=cfg, contigs=contigs, overlap=args.overlap
+        genome, n_shards, config=cfg, contigs=contigs, overlap=args.overlap,
+        jobs=args.jobs,
     )
     save_index(args.out, shards, manifest)
     total_bytes = sum(
@@ -211,6 +212,47 @@ def cmd_bench(args):
     bench.main()
 
 
+def cmd_scaling(args):
+    """Scaling-efficiency harness (BASELINE north star: >=80% reads/s
+    efficiency scaling out). Runs the ring DistEngine over 1..max_data
+    data-parallel lanes on the available devices and reports efficiency
+    vs the single-lane rate. On a CPU host this exercises the code path
+    functionally; meaningful numbers need a real pod slice."""
+    import jax
+    import numpy as np
+
+    from bwtpu.config import EngineConfig
+    from bwtpu.dist import DistEngine
+    from bwtpu.index import build_sharded_index
+    from bwtpu.simulate import random_genome, simulate_reads
+
+    cfg = EngineConfig(sa_rate=8, max_hits=4, max_cand=8, read_len=args.read_len)
+    genome = random_genome(args.genome_bp, seed=1)
+    shards, manifest = build_sharded_index(
+        genome, args.shards, config=cfg, overlap=cfg.read_len * 2
+    )
+    reads, _ = simulate_reads(genome, args.n_reads, read_len=args.read_len,
+                              max_mismatches=2, seed=2)
+    n_dev = len(jax.devices())
+    base = None
+    rows = []
+    nd = 1
+    while args.shards * nd <= n_dev:
+        eng = DistEngine(shards, manifest, n_data=nd)
+        eng.align_batch(reads[: args.shards * nd * 2], k=args.k)  # compile
+        t0 = time.time()
+        eng.align_batch(reads, k=args.k)
+        rps = len(reads) / (time.time() - t0)
+        if base is None:
+            base = rps
+        eff = rps / (base * nd)
+        rows.append({"n_data": nd, "devices": args.shards * nd,
+                     "reads_per_s": round(rps, 1),
+                     "efficiency": round(eff, 3)})
+        nd *= 2
+    print(json.dumps({"event": "scaling", "shards": args.shards, "rows": rows}))
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(levelname)s %(name)s %(message)s")
     p = argparse.ArgumentParser(prog="bwtpu", description=__doc__)
@@ -226,6 +268,8 @@ def main(argv=None):
     b.add_argument("--max-hits", type=int, default=16)
     b.add_argument("--max-cand", type=int, default=32)
     b.add_argument("--overlap", type=int, default=256)
+    b.add_argument("--jobs", type=int, default=1,
+                   help="parallel shard-build processes")
     b.set_defaults(fn=cmd_build_index)
 
     a = sub.add_parser("align", help="align reads, emit SAM")
@@ -255,6 +299,14 @@ def main(argv=None):
 
     be = sub.add_parser("bench", help="run the driver benchmark")
     be.set_defaults(fn=cmd_bench)
+
+    sc = sub.add_parser("scaling", help="ring-scaling efficiency harness")
+    sc.add_argument("--shards", type=int, default=2)
+    sc.add_argument("--genome-bp", type=int, default=200_000)
+    sc.add_argument("--n-reads", type=int, default=2048)
+    sc.add_argument("--read-len", type=int, default=100)
+    sc.add_argument("-k", type=int, default=0)
+    sc.set_defaults(fn=cmd_scaling)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -127,3 +127,18 @@ def test_sam_output_equality():
     emit_sam(reads, ghits, contigs, bg)
     emit_sam(reads, ehits, contigs, be)
     assert bg.getvalue() == be.getvalue()
+
+
+def test_packed_and_host_paths_agree(world):
+    """The uniform-length packed fast path and the general host-encoded
+    path must produce identical hit lists (mixed-length batches force
+    the host path)."""
+    genome, golden, engine = world
+    from bwtpu.io import Read
+
+    reads, _ = simulate_reads(genome, 16, read_len=40, max_mismatches=2, seed=99)
+    for k in (0, 2):
+        uniform = engine.align_batch(reads, k=k)  # packed path (40 <= 50)
+        mixed = engine.align_batch(reads + [Read("odd", genome[10:25])], k=k)
+        assert uniform == mixed[:16], k
+        assert mixed[16] == golden.align_read(genome[10:25], k=k)
