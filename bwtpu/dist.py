@@ -61,6 +61,7 @@ def build_ring_align(
     sa_rate: int,
     loc_factor: int = 2,
     backend: str = "jnp",
+    debug_checks: bool = False,
 ):
     """Compile the ring-rotation align step over the mesh.
 
@@ -82,6 +83,16 @@ def build_ring_align(
             shard = jax.tree.map(lambda x: x[0], shard)
             my_shard = jax.lax.axis_index("shard")
             b = ra_codes.shape[0]
+            if debug_checks:
+                # divergence detector (SURVEY.md §5.2): every device must
+                # run the same program over same-shaped batches; a psum
+                # of a shape checksum flags a desynchronized participant
+                # before it deadlocks a collective.
+                csum = jnp.int32(b * 1000003 + ra_codes.shape[1])
+                total = jax.lax.psum(csum, ("shard", "data"))
+                n_dev = mesh.shape["shard"] * mesh.shape["data"]
+                chk = jnp.where(total == csum * n_dev, 0, 1)
+                ra_codes = ra_codes + chk * 0  # keep the check live
             hp = jnp.zeros((b, S, max_hits), jnp.int32)
             hv = jnp.zeros((b, S, max_hits), jnp.bool_)
             ov = jnp.zeros((b, S), jnp.int32)
@@ -182,6 +193,7 @@ class DistEngine:
         n_data: int = 1,
         backend: str = "jnp",
         devices=None,
+        debug_checks: bool = False,
     ):
         self.shards = shards
         self.manifest = manifest
@@ -195,6 +207,7 @@ class DistEngine:
 
         self.dev = upload_index(shards, sharding_fn=sharding_fn)
         self.kmer_depths = sorted(shards[0].kmer_tables)
+        self.debug_checks = debug_checks
         self._compiled: dict = {}
 
     @property
@@ -210,6 +223,7 @@ class DistEngine:
                 max_hits=self.config.max_hits, max_cand=self.config.max_cand,
                 sa_rate=self.config.sa_rate,
                 loc_factor=self.config.loc_factor, backend=self.backend,
+                debug_checks=self.debug_checks,
             )
         return self._compiled[key]
 

@@ -118,6 +118,7 @@ def build_fm_index(
     contigs: list[Contig] | None = None,
     shard_offset: int = 0,
     sa: np.ndarray | None = None,
+    force_numpy: bool = False,
 ) -> FMIndex:
     """Build one shard's FM-index from a (sanitized) genome string.
 
@@ -153,31 +154,52 @@ def build_fm_index(
     C = C.astype(np.int32)
 
     # L2: checkpointed Occ + packed BWT, interleaved into the record.
-    n_blocks = (n + BLOCK - 1) // BLOCK
-    bwt_codes = bwt_sym.astype(np.int64) - 1
-    bwt_codes[dollar_row] = 0  # '$' stored as code 0, corrected at query
-    padded = np.zeros(n_blocks * BLOCK, dtype=np.int64)
-    padded[:n] = bwt_codes
-
-    # Per-block per-base counts ('$' excluded from counts).
-    valid = np.ones(n_blocks * BLOCK, dtype=bool)
-    valid[n:] = False
-    valid[dollar_row] = False
-    block_idx = np.arange(n_blocks * BLOCK) // BLOCK
-    flat = (block_idx * 4 + padded)[valid]
-    per_block = np.bincount(flat, minlength=n_blocks * 4).reshape(n_blocks, 4)
-    occ_ck = np.zeros((n_blocks + 1, 4), dtype=np.int64)
-    occ_ck[1:] = np.cumsum(per_block, axis=0)
-
-    # L2: text-sampled SA (rows r with SA[r] % sa_rate == 0 are marked).
-    marked = (sa % config.sa_rate) == 0
-    ssa = sa[marked].astype(np.int32)
-    mark_rank_ck = np.zeros(n_blocks + 1, dtype=np.int64)
-    marked_padded = np.zeros(n_blocks * BLOCK, dtype=bool)
-    marked_padded[:n] = marked
-    mark_rank_ck[1:] = np.cumsum(
-        marked_padded.reshape(n_blocks, BLOCK).sum(axis=1)
+    # Fast path: one-pass C++ assembly (csrc/pack.cc); the NumPy path
+    # below is the reference implementation (tests assert equality).
+    native = None if force_numpy else sais.build_lattice_native(
+        bwt_sym, sa, config.sa_rate, text_codes
     )
+    n_blocks = (n + BLOCK - 1) // BLOCK
+    if native is not None:
+        lattice, ssa, text_packed = native
+        mark_rank_ck = lattice[:, MARK_RANK_WORD].astype(np.int64)
+    else:
+        bwt_codes = bwt_sym.astype(np.int64) - 1
+        bwt_codes[dollar_row] = 0  # '$' stored as code 0, corrected at query
+        padded = np.zeros(n_blocks * BLOCK, dtype=np.int64)
+        padded[:n] = bwt_codes
+
+        # Per-block per-base counts ('$' excluded from counts).
+        valid = np.ones(n_blocks * BLOCK, dtype=bool)
+        valid[n:] = False
+        valid[dollar_row] = False
+        block_idx = np.arange(n_blocks * BLOCK) // BLOCK
+        flat = (block_idx * 4 + padded)[valid]
+        per_block = np.bincount(flat, minlength=n_blocks * 4).reshape(n_blocks, 4)
+        occ_ck = np.zeros((n_blocks + 1, 4), dtype=np.int64)
+        occ_ck[1:] = np.cumsum(per_block, axis=0)
+
+        # L2: text-sampled SA (rows r with SA[r] % sa_rate == 0 are marked).
+        marked = (sa % config.sa_rate) == 0
+        ssa = sa[marked].astype(np.int32)
+        mark_rank_ck = np.zeros(n_blocks + 1, dtype=np.int64)
+        marked_padded = np.zeros(n_blocks * BLOCK, dtype=bool)
+        marked_padded[:n] = marked
+        mark_rank_ck[1:] = np.cumsum(
+            marked_padded.reshape(n_blocks, BLOCK).sum(axis=1)
+        )
+
+        # Assemble the 32-word records (self + next-block interleaved).
+        lattice = np.zeros((n_blocks + 1, REC_WORDS), dtype=np.int32)
+        lattice[:, 0:4] = occ_ck.astype(np.int32)
+        bwt_words = pack_2bit(padded.astype(np.uint8)).reshape(n_blocks, 8)
+        lattice[:n_blocks, BWT_WORD0 : BWT_WORD0 + 8] = bwt_words
+        mark_words = pack_bits(marked_padded).reshape(n_blocks, 4)
+        lattice[:n_blocks, MARK_WORD0 : MARK_WORD0 + 4] = mark_words
+        lattice[:, MARK_RANK_WORD] = mark_rank_ck.astype(np.int32)
+        lattice[:n_blocks, NEXT_CK0 : NEXT_CK0 + 4] = occ_ck[1:].astype(np.int32)
+        lattice[: n_blocks - 1, NEXT_BWT0 : NEXT_BWT0 + 8] = bwt_words[1:]
+        text_packed = pack_2bit(text_codes)
 
     # k-mer start table (docs/DESIGN.md): for every d-mer c, the SA
     # interval of suffixes starting with c. Exact construction from the
@@ -221,17 +243,6 @@ def build_fm_index(
             hi = np.searchsorted(kd, qk, side="right")
             kmer_tables[depth] = np.stack([lo, hi], axis=1).astype(np.int32)
 
-    # Assemble the 32-word records (self + next-block data interleaved).
-    lattice = np.zeros((n_blocks + 1, REC_WORDS), dtype=np.int32)
-    lattice[:, 0:4] = occ_ck.astype(np.int32)
-    bwt_words = pack_2bit(padded.astype(np.uint8)).reshape(n_blocks, 8)
-    lattice[:n_blocks, BWT_WORD0 : BWT_WORD0 + 8] = bwt_words
-    mark_words = pack_bits(marked_padded).reshape(n_blocks, 4)
-    lattice[:n_blocks, MARK_WORD0 : MARK_WORD0 + 4] = mark_words
-    lattice[:, MARK_RANK_WORD] = mark_rank_ck.astype(np.int32)
-    lattice[:n_blocks, NEXT_CK0 : NEXT_CK0 + 4] = occ_ck[1:].astype(np.int32)
-    lattice[: n_blocks - 1, NEXT_BWT0 : NEXT_BWT0 + 8] = bwt_words[1:]
-
     return FMIndex(
         config=config,
         text_len=text_len,
@@ -241,7 +252,7 @@ def build_fm_index(
         search_lattice=lattice,
         mark_rank_ck=mark_rank_ck.astype(np.int32),
         ssa=ssa,
-        text_packed=pack_2bit(text_codes),
+        text_packed=text_packed,
         kmer_d=d,
         kmer_tables=kmer_tables,
         contigs=contigs,

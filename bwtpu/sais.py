@@ -54,6 +54,18 @@ def _load_native() -> ctypes.CDLL | None:
                 ctypes.c_int64,
                 ctypes.c_int64,
             ]
+            lib.bwtpu_build_lattice.restype = ctypes.c_int64
+            lib.bwtpu_build_lattice.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),   # bwt_sym
+                ctypes.POINTER(ctypes.c_int64),   # sa
+                ctypes.c_int64,                   # n
+                ctypes.c_int64,                   # sa_rate
+                ctypes.POINTER(ctypes.c_int32),   # lattice
+                ctypes.POINTER(ctypes.c_int32),   # ssa
+                ctypes.POINTER(ctypes.c_uint8),   # text_codes
+                ctypes.c_int64,                   # text_len
+                ctypes.POINTER(ctypes.c_int32),   # text_packed
+            ]
             _lib = lib
         except OSError as e:
             log.warning("SA-IS .so load failed (%s); using NumPy fallback", e)
@@ -89,3 +101,35 @@ def suffix_array(symbols: np.ndarray, alphabet_size: int = 5,
 
 def native_available() -> bool:
     return _load_native() is not None
+
+
+def build_lattice_native(bwt_sym, sa, sa_rate, text_codes):
+    """One-pass C++ lattice assembly; returns (lattice, ssa, text_packed)
+    or None when the native library is unavailable."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    n = len(bwt_sym)
+    n_blocks = (n + 127) // 128
+    lattice = np.zeros((n_blocks + 1, 32), dtype=np.int32)
+    ssa_cap = n // sa_rate + 2
+    ssa = np.zeros(ssa_cap, dtype=np.int32)
+    text_len = len(text_codes)
+    text_packed = np.zeros((text_len + 15) // 16, dtype=np.int32)
+    bwt_sym = np.ascontiguousarray(bwt_sym, dtype=np.uint8)
+    sa = np.ascontiguousarray(sa, dtype=np.int64)
+    text_codes = np.ascontiguousarray(text_codes, dtype=np.uint8)
+    n_sampled = lib.bwtpu_build_lattice(
+        bwt_sym.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n),
+        ctypes.c_int64(sa_rate),
+        lattice.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ssa.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        text_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(text_len),
+        text_packed.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if n_sampled < 0:
+        return None
+    return lattice, ssa[:n_sampled].copy(), text_packed

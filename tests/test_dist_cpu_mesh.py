@@ -95,3 +95,14 @@ def test_paired_end_distributed(world8):
         ps = sorted([int(lines[2 * i].split("\t")[3]) - 1,
                      int(lines[2 * i + 1].split("\t")[3]) - 1])
         assert ps == sorted([t["pos1"], t["pos2"]])
+
+
+def test_debug_checks_path(world8):
+    """The psum shape-checksum debug mode must not change results."""
+    genome, golden = world8
+    shards, manifest = build_sharded_index(genome, 2, config=CFG, overlap=64)
+    eng = DistEngine(shards, manifest, n_data=2, debug_checks=True)
+    reads, _ = simulate_reads(genome, 8, read_len=40, seed=75)
+    got = eng.align_batch(reads, k=0)
+    for r, hits in zip(reads, got):
+        assert hits == golden.align_read(r.seq, k=0)

@@ -142,3 +142,22 @@ def test_packed_and_host_paths_agree(world):
         mixed = engine.align_batch(reads + [Read("odd", genome[10:25])], k=k)
         assert uniform == mixed[:16], k
         assert mixed[16] == golden.align_read(genome[10:25], k=k)
+
+
+def test_straggler_fixup_overflow_is_loud():
+    """> cap lanes stuck on wide repeat intervals: results are forced
+    empty (never garbage) and the overflow counter reports it."""
+    from bwtpu.io import Read
+
+    genome = "A" * 4000 + random_genome(4000, seed=7)
+    engine = Engine([build_fm_index(genome, CFG.replace(max_hits=8))])
+    # 2400 read-strand lanes, all poly-A: every lane straggles, fixup
+    # cap is max(256, B2//8) = 300 -> overflow
+    reads = [Read(f"a{i}", "A" * 30) for i in range(1200)]
+    got = engine.align_batch(reads, k=0)
+    assert engine.stats.compact_overflows > 0
+    # lanes inside fixup capacity got exact results; none are garbage:
+    # every reported hit must be a real poly-A position
+    for hs in got:
+        for h in hs:
+            assert genome[h.pos : h.pos + 30] == "A" * 30

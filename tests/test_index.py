@@ -136,3 +136,20 @@ def test_sharded_search_union_equals_whole():
                 hits.add(sh.shard_offset + p)
         sp, ep = golden.backward_search(pat)
         assert hits == set(golden.locate_range(sp, ep))
+
+
+def test_native_lattice_builder_matches_numpy():
+    """csrc/pack.cc one-pass assembly == NumPy reference, bit for bit."""
+    from bwtpu import sais as _sais
+
+    if not _sais.native_available():
+        pytest.skip("native library unavailable")
+    for n, seed in ((1000, 1), (4097, 2), (128 * 3, 3)):
+        genome = random_genome(n, seed=seed)
+        cfg = EngineConfig(sa_rate=8)
+        a = build_fm_index(genome, cfg)
+        b = build_fm_index(genome, cfg, force_numpy=True)
+        np.testing.assert_array_equal(a.search_lattice, b.search_lattice)
+        np.testing.assert_array_equal(a.ssa, b.ssa)
+        np.testing.assert_array_equal(a.text_packed, b.text_packed)
+        np.testing.assert_array_equal(a.mark_rank_ck, b.mark_rank_ck)
