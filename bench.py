@@ -53,9 +53,9 @@ def main():
     shard0 = jax.tree.map(lambda x: x[0], dev.shard)
     depths = sorted(idx.kmer_tables)
 
-    B = 8192
+    B = 32768  # larger batches amortize per-step overheads (docs/DESIGN.md)
     t0 = time.time()
-    n_batches = 8
+    n_batches = 4
     encs = []
     reads = None
     for i in range(n_batches):

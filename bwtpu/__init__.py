@@ -23,3 +23,22 @@ in `bwtpu.golden` and enforced by the parity tests in `tests/`.
 __version__ = "0.1.0"
 
 from bwtpu.config import EngineConfig  # noqa: F401
+
+
+def __getattr__(name):  # lazy: keep `import bwtpu` light (no jax import)
+    if name in ("Engine", "DistEngine", "build_fm_index",
+                "build_sharded_index", "load_index", "save_index",
+                "GoldenFMIndex"):
+        import importlib
+
+        mod = {
+            "Engine": "bwtpu.engine",
+            "DistEngine": "bwtpu.dist",
+            "build_fm_index": "bwtpu.index",
+            "build_sharded_index": "bwtpu.index",
+            "load_index": "bwtpu.index",
+            "save_index": "bwtpu.index",
+            "GoldenFMIndex": "bwtpu.golden",
+        }[name]
+        return getattr(importlib.import_module(mod), name)
+    raise AttributeError(name)

@@ -126,16 +126,30 @@ def cmd_align(args):
         else:
             if mode == "w":
                 out.write(sam_header(manifest.contigs))
+            # pipelined: keep a few batches in flight (hides dispatch
+            # latency); SAM + cursor are written strictly in order
+            inflight = []
+
+            def drain_one():
+                nonlocal total
+                bi0, t0, chunk, handle = inflight.pop(0)
+                hits = engine.finish_batch(handle)
+                emit_sam(chunk, hits, manifest.contigs, out, header=False)
+                total += len(chunk)
+                _log_batch(bi0, len(chunk), hits, None, t0)
+                _save_cursor(cursor_path, bi0 + 1)
+
             for bi in range(0, len(reads), bs):
                 if bi // bs < start_batch:
                     continue
-                t0 = time.time()
                 chunk = reads[bi : bi + bs]
-                hits = engine.align_batch(chunk, k=k)
-                emit_sam(chunk, hits, manifest.contigs, out, header=False)
-                total += len(chunk)
-                _log_batch(bi // bs, len(chunk), hits, None, t0)
-                _save_cursor(cursor_path, bi // bs + 1)
+                inflight.append(
+                    (bi // bs, time.time(), chunk, engine.dispatch_batch(chunk, k))
+                )
+                if len(inflight) > 3:
+                    drain_one()
+            while inflight:
+                drain_one()
     finally:
         if out is not sys.stdout:
             out.close()
@@ -278,7 +292,7 @@ def main(argv=None):
     a.add_argument("--paired", help="mate FASTQ for paired-end")
     a.add_argument("-o", "--out", default="-")
     a.add_argument("-k", type=int, default=None, help="max mismatches (default: index config)")
-    a.add_argument("--batch-size", type=int, default=4096)
+    a.add_argument("--batch-size", type=int, default=16384)
     a.add_argument("--min-insert", type=int, default=0)
     a.add_argument("--max-insert", type=int, default=1000)
     a.add_argument("--resume", action="store_true",
