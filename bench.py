@@ -43,8 +43,9 @@ def main():
 
     t0_all = time.time()
     timings = {}
-    # sa_rate=8: locate rows dominate otherwise (docs/DESIGN.md)
-    cfg = EngineConfig(sa_rate=8, max_hits=4, max_cand=8, read_len=100)
+    # sa_rate=1: full SA resident (4 B/base; ~18 MB at E. coli scale) so
+    # locate is one element gather, no LF walk (docs/DESIGN.md)
+    cfg = EngineConfig(sa_rate=1, max_hits=4, max_cand=8, read_len=100)
     genome = random_genome(ECOLI_SCALE, seed=1)
     t0 = time.time()
     idx = build_fm_index(genome, cfg)

@@ -58,6 +58,11 @@ class EngineConfig:
     # backward-search steps (docs/DESIGN.md). 0 = disabled; None = auto
     # (chosen from genome size at index build: ~log4(n), capped at 12).
     kmer_d: int | None = None
+    # 3-step Occ lattice: one 512 B gather advances backward search by
+    # three bases for both interval bounds (docs/DESIGN.md "multi-step
+    # Occ lattice"). Costs 2 bytes/base of extra HBM at build time;
+    # uniform-length batches then search ~3x fewer rows.
+    occ3: bool = True
 
     def __post_init__(self):
         if self.occ_block != 128:

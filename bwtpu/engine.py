@@ -42,6 +42,7 @@ from bwtpu.kernels.compact import compact, scatter_back
 from bwtpu.kernels.locate import locate_rows
 from bwtpu.kernels.search import backward_search, interval_rows
 from bwtpu.kernels.search2 import backward_search_ra, right_align
+from bwtpu.kernels.search3 import backward_search3_uniform
 from bwtpu.kernels.verify2 import (NM_INVALID, build_text_rows,
                                    dedupe_quadratic, pack_reads,
                                    verify_packed)
@@ -67,6 +68,7 @@ class Shard(NamedTuple):
     stacked). A pytree — vmap/shard_map over axis 0."""
 
     lattice: jnp.ndarray  # int32[n_blocks+1, 32]
+    lattice3: jnp.ndarray  # int32[n_blocks3+1, 128]; (1, 128) dummy = absent
     ssa: jnp.ndarray  # int32[n_sampled(max)]
     C: jnp.ndarray  # int32[8]
     dollar_row: jnp.ndarray  # int32
@@ -110,8 +112,16 @@ def upload_index(
         put = lambda x, extra: jax.device_put(x, sharding_fn(extra))
 
     depths = sorted(set.intersection(*[set(s.kmer_tables) for s in shards]))
+    # 3-step lattice: all shards must have it for the (static) 3-step
+    # search path to be usable; otherwise ship a 1-row dummy, whose
+    # shape tells the pipelines to stay on the 1-step path.
+    if all(s.occ3_lattice is not None for s in shards):
+        lat3 = pad_stack([s.occ3_lattice for s in shards])
+    else:
+        lat3 = np.zeros((len(shards), 1, 128), dtype=np.int32)
     shard = Shard(
         lattice=put(pad_stack([s.search_lattice for s in shards]), 2),
+        lattice3=put(lat3, 2),
         ssa=put(pad_stack([s.ssa for s in shards]), 1),
         C=put(np.stack([s.C for s in shards]), 1),
         dollar_row=put(np.array([s.dollar_row for s in shards], np.int32), 0),
@@ -266,6 +276,18 @@ def _locate_compacted(shard: Shard, rows, valid, *, sa_rate, cap, backend):
     return pos.reshape(shape), loc_over
 
 
+def _exact_finish(shard, sp, ep, fix_over, *, max_hits, sa_rate, loc_factor,
+                  backend):
+    """Interval expand -> compacted locate, shared by the search variants."""
+    rows, valid, overflow = interval_rows(sp, ep, max_hits)
+    cap = sp.shape[0] * loc_factor
+    pos, loc_over = _locate_compacted(
+        shard, rows, valid, sa_rate=sa_rate, cap=cap, backend=backend
+    )
+    valid = valid & (pos >= 0)
+    return pos, valid, overflow, loc_over + fix_over
+
+
 def exact_pipeline(
     shard: Shard, ra_codes, ra_amb, lens,
     *, d: int, max_hits: int, sa_rate: int, loc_factor: int = 2,
@@ -280,13 +302,10 @@ def exact_pipeline(
         shard.lattice, shard.C, shard.dollar_row, shard.n, kt,
         ra_codes, ra_amb, lens, d, backend=backend,
     )
-    rows, valid, overflow = interval_rows(sp, ep, max_hits)
-    cap = ra_codes.shape[0] * loc_factor
-    pos, loc_over = _locate_compacted(
-        shard, rows, valid, sa_rate=sa_rate, cap=cap, backend=backend
+    return _exact_finish(
+        shard, sp, ep, fix_over, max_hits=max_hits, sa_rate=sa_rate,
+        loc_factor=loc_factor, backend=backend,
     )
-    valid = valid & (pos >= 0)
-    return pos, valid, overflow, loc_over + fix_over
 
 
 def inexact_pipeline(
@@ -299,9 +318,6 @@ def inexact_pipeline(
 
     Returns (cand int32[B2, Ct], nm int32[B2, Ct], valid bool[B2, Ct],
     overflow int32[B2], loc_overflow scalar, ver_overflow scalar)."""
-    B2 = read_words.shape[0]
-    nS = k + 1
-    Ct = nS * max_loc
     kt = shard.kmer_tables[d] if d > 0 else jnp.zeros((1, 2), jnp.int32)
     sp, ep, fix_over = backward_search_ra(
         shard.lattice, shard.C, shard.dollar_row, shard.n, kt,
@@ -310,7 +326,21 @@ def inexact_pipeline(
     empty = enc_seed_lens == 0
     sp = jnp.where(empty, 0, sp)
     ep = jnp.where(empty, 0, ep)
+    return _inexact_from_intervals(
+        shard, sp, ep, enc_seed_off, read_words, amb_bits, len_mask, lens,
+        k=k, max_loc=max_loc, sa_rate=sa_rate, loc_factor=loc_factor,
+        backend=backend, fix_over=fix_over,
+    )
 
+
+def _inexact_from_intervals(
+    shard, sp, ep, enc_seed_off, read_words, amb_bits, len_mask, lens,
+    *, k, max_loc, sa_rate, loc_factor, backend, fix_over,
+):
+    """Seed intervals -> locate -> dedupe -> packed verify (shared)."""
+    B2 = read_words.shape[0]
+    nS = k + 1
+    Ct = nS * max_loc
     rows, rvalid, overflow_s = interval_rows(sp, ep, max_loc)
     cap_loc = B2 * loc_factor
     spos, loc_over = _locate_compacted(
@@ -407,9 +437,24 @@ def device_prep_uniform(read_words, amb_bits, L: int, k: int):
     return codes2, amb2, lens2, rw2, ab2, lm2, seeds
 
 
+def _shard_has_occ3(shard: Shard) -> bool:
+    """Static (trace-time) test: real 3-step lattices have >= 2 rows;
+    upload_index ships a 1-row dummy when any shard lacks one."""
+    return shard.lattice3.shape[-2] > 1
+
+
 def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
                           sa_rate, loc_factor=2, backend="jnp"):
     ra2, raa2, lens2, _, _, _, _ = device_prep_uniform(read_words, amb_bits, L, 0)
+    if _shard_has_occ3(shard) and d >= 1:
+        sp, ep, fix_over = backward_search3_uniform(
+            shard.lattice, shard.lattice3, shard.C, shard.dollar_row,
+            shard.kmer_tables[d], ra2, raa2, L, d,
+        )
+        return _exact_finish(
+            shard, sp, ep, fix_over, max_hits=max_hits, sa_rate=sa_rate,
+            loc_factor=loc_factor, backend=backend,
+        )
     return exact_pipeline(
         shard, ra2, raa2, lens2, d=d, max_hits=max_hits, sa_rate=sa_rate,
         loc_factor=loc_factor, backend=backend,
@@ -418,6 +463,35 @@ def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
 
 def inexact_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, max_loc,
                             sa_rate, loc_factor=4, backend="jnp"):
+    if _shard_has_occ3(shard) and d >= 1:
+        # 3-step path: each seed slot has one uniform (static) length, so
+        # the seed searches run per slot on full-width slices of the
+        # derived codes — no right-aligned seed arrays needed at all.
+        codes2, amb2, lens2, rw2, ab2, lm2, _ = device_prep_uniform(
+            read_words, amb_bits, L, 0
+        )
+        B2 = codes2.shape[0]
+        nS = k + 1
+        sps, eps, offs = [], [], []
+        fix_over = jnp.int32(0)
+        for off, slen in seed_layout(L, nS):
+            sp_s, ep_s, over = backward_search3_uniform(
+                shard.lattice, shard.lattice3, shard.C, shard.dollar_row,
+                shard.kmer_tables[d], codes2[:, off : off + slen],
+                amb2[:, off : off + slen], slen, d,
+            )
+            sps.append(sp_s)
+            eps.append(ep_s)
+            offs.append(off)
+            fix_over = fix_over + over
+        sp = jnp.stack(sps, axis=1).reshape(B2 * nS)
+        ep = jnp.stack(eps, axis=1).reshape(B2 * nS)
+        seed_off = jnp.tile(jnp.asarray(offs, jnp.int32), (B2, 1)).reshape(-1)
+        return _inexact_from_intervals(
+            shard, sp, ep, seed_off, rw2, ab2, lm2, lens2,
+            k=k, max_loc=max_loc, sa_rate=sa_rate, loc_factor=loc_factor,
+            backend=backend, fix_over=fix_over,
+        )
     _, _, lens2, rw2, ab2, lm2, seeds = device_prep_uniform(
         read_words, amb_bits, L, k
     )

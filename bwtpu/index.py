@@ -62,7 +62,25 @@ MARK_RANK_WORD = 16  # in-record mark-rank checkpoint
 NEXT_CK0 = 17  # next block's Occ checkpoints
 NEXT_BWT0 = 21  # next block's packed BWT words
 
-FORMAT_VERSION = 4
+# 3-step (triple-alphabet) Occ lattice: one 512 B record per 256 BWT
+# rows advances backward search by THREE bases for both interval bounds
+# in a single gather (docs/DESIGN.md "multi-step Occ lattice"):
+#   words  0..63   fold[j][t] = K3[t] + Occ3(t, 256*j), where K3[t] is
+#                  the SA interval start of triple t (first row whose
+#                  suffix begins with t) and Occ3(t, i) counts rows
+#                  r < i whose suffix is preceded by exactly the three
+#                  text chars t (rows with SA[r] < 3 have no preceding
+#                  triple and are never counted),
+#   words 64..127  256 bytes, byte p = preceding-triple code (0..63) of
+#                  row 256*j + p, or 255 for invalid rows (SA[r] < 3 or
+#                  padding past n). LSB-first within each word.
+# Row n_blocks3 is a terminator (full-text folds, codes 255).
+BLOCK3 = 256  # rows per 3-step record
+REC3_WORDS = 128  # int32 words per 3-step record
+OCC3_CODE0 = 64  # first packed-code word in a 3-step record
+OCC3_INVALID = 255  # code for rows with no valid preceding triple
+
+FORMAT_VERSION = 5
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:
@@ -106,6 +124,7 @@ class FMIndex:
     kmer_tables: dict  # {depth: int32[4^depth, 2]} SA interval per d-mer
     contigs: list[Contig]
     shard_offset: int = 0  # global position of this shard's base 0
+    occ3_lattice: np.ndarray | None = None  # int32[n_blocks3+1, 128]
 
     @property
     def n_blocks(self) -> int:
@@ -243,6 +262,48 @@ def build_fm_index(
             hi = np.searchsorted(kd, qk, side="right")
             kmer_tables[depth] = np.stack([lo, hi], axis=1).astype(np.int32)
 
+    # 3-step Occ lattice (layout documented at BLOCK3 above). Only built
+    # when a k-mer start table exists: the 3-step search path requires a
+    # table start (a [0, n) initial interval would straggle immediately).
+    occ3_lattice = None
+    if config.occ3 and depths and text_len >= 3:
+        pre_code = np.full(n, OCC3_INVALID, dtype=np.int64)
+        v = sa >= 3
+        kpos = sa[v].astype(np.int64)
+        tc = text_codes.astype(np.int64)
+        pre_code[v] = tc[kpos - 3] * 16 + tc[kpos - 2] * 4 + tc[kpos - 1]
+        n_blocks3 = (n + BLOCK3 - 1) // BLOCK3
+        padded3 = np.full(n_blocks3 * BLOCK3, OCC3_INVALID, dtype=np.int64)
+        padded3[:n] = pre_code
+        ok = padded3 != OCC3_INVALID
+        blk = np.arange(n_blocks3 * BLOCK3) // BLOCK3
+        per_block3 = np.bincount(
+            (blk * 64 + padded3)[ok], minlength=n_blocks3 * 64
+        ).reshape(n_blocks3, 64)
+        ck3 = np.zeros((n_blocks3 + 1, 64), dtype=np.int64)
+        ck3[1:] = np.cumsum(per_block3, axis=0)
+        # K3[t] = first row whose suffix starts with triple t, from the
+        # same SA-ordered suffix keys the start tables use (key exists:
+        # depths is non-empty so `key` was computed at dmax >= 4 > 3).
+        key3 = key // (5 ** (depths[-1] - 3))
+        digits = np.arange(64, dtype=np.int64)
+        qk3 = (
+            ((digits >> 4) & 3) * 25 + ((digits >> 2) & 3) * 5 + (digits & 3)
+            + 31  # == sum over 3 digits of (d_i + 1) * 5^i weights
+        )
+        k3 = np.searchsorted(key3, qk3, side="left")
+        occ3_lattice = np.zeros((n_blocks3 + 1, REC3_WORDS), dtype=np.int32)
+        occ3_lattice[:, :64] = (k3[None, :] + ck3).astype(np.int32)
+        bytes3 = padded3.reshape(n_blocks3, 64, 4).astype(np.uint32)
+        shifts = (8 * np.arange(4, dtype=np.uint32))[None, None, :]
+        words3 = np.bitwise_or.reduce(bytes3 << shifts, axis=2)
+        occ3_lattice[:n_blocks3, OCC3_CODE0:] = words3.view(np.int32).reshape(
+            n_blocks3, 64
+        )
+        occ3_lattice[n_blocks3, OCC3_CODE0:] = np.full(
+            64, 0xFFFFFFFF, dtype=np.uint32
+        ).view(np.int32)
+
     return FMIndex(
         config=config,
         text_len=text_len,
@@ -257,6 +318,7 @@ def build_fm_index(
         kmer_tables=kmer_tables,
         contigs=contigs,
         shard_offset=shard_offset,
+        occ3_lattice=occ3_lattice,
     )
 
 
@@ -278,6 +340,19 @@ def host_occ(idx: FMIndex, c: int, i: int) -> int:
             count += 1
     if c == 0 and (idx.dollar_row // BLOCK) == j and idx.dollar_row < i:
         count -= 1
+    return count
+
+
+def host_occ3(idx: FMIndex, t: int, i: int) -> int:
+    """K3[t] + Occ3(t, i) from the packed 3-step lattice (layout oracle)."""
+    j, m = divmod(i, BLOCK3)
+    rec = idx.occ3_lattice[j]
+    count = int(rec[t])
+    words = rec[OCC3_CODE0:].view(np.uint32)
+    for p in range(m):
+        code = (int(words[p // 4]) >> (8 * (p % 4))) & 0xFF
+        if code == t:
+            count += 1
     return count
 
 
@@ -410,6 +485,9 @@ def save_index(path: str, shards: list[FMIndex], manifest: ShardManifest):
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
     for i, sh in enumerate(shards):
+        extra = {}
+        if sh.occ3_lattice is not None:
+            extra["occ3_lattice"] = sh.occ3_lattice
         np.savez(
             os.path.join(path, f"shard{i}.npz"),
             text_len=sh.text_len,
@@ -424,6 +502,7 @@ def save_index(path: str, shards: list[FMIndex], manifest: ShardManifest):
             kmer_depths=np.array(sorted(sh.kmer_tables), dtype=np.int32),
             shard_offset=sh.shard_offset,
             **{f"kmer_table_{dd}": t for dd, t in sh.kmer_tables.items()},
+            **extra,
         )
 
 
@@ -462,6 +541,7 @@ def load_index(path: str) -> tuple[list[FMIndex], ShardManifest]:
                 },
                 contigs=contigs,
                 shard_offset=int(z["shard_offset"]),
+                occ3_lattice=z["occ3_lattice"] if "occ3_lattice" in z else None,
             )
         )
     return shards, manifest
