@@ -33,8 +33,9 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from bwtpu.engine import (DeviceIndexSet, assemble_hits, encode_batch,
-                          exact_pipeline, inexact_pipeline, pick_kmer_depth,
-                          upload_index)
+                          exact_pipeline, exact_pipeline_packed,
+                          inexact_pipeline, inexact_pipeline_packed,
+                          pack_reads_for_bench, pick_kmer_depth, upload_index)
 from bwtpu.golden import Hit
 from bwtpu.index import FMIndex, ShardManifest
 from bwtpu.kernels.verify2 import NM_INVALID

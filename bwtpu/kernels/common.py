@@ -20,6 +20,29 @@ NEXT_CK0 = 17
 NEXT_BWT0 = 21
 
 
+def select_lane(arr: jnp.ndarray, idx: jnp.ndarray, width: int) -> jnp.ndarray:
+    """arr[..., idx] as a one-hot masked sum over a STATIC width.
+
+    Equivalent to take_along_axis(arr, idx[..., None], -1)[..., 0] but
+    guaranteed to stay elementwise (VPU select + reduce) and fuse into
+    the record-gather consumer. A dynamic take_along_axis on a gathered
+    (B, W) record can lower to a second HBM element gather, which costs
+    like a full row gather PER ELEMENT (docs/DESIGN.md) — one-hot keeps
+    the per-step gather count at exactly one.
+    """
+    iota = np.arange(width, dtype=np.int32)
+    return jnp.sum(jnp.where(idx[..., None] == iota, arr[..., :width], 0), axis=-1)
+
+
+def select_scalar_table(table: jnp.ndarray, idx: jnp.ndarray, width: int) -> jnp.ndarray:
+    """table[idx] for a tiny replicated table, as a one-hot masked sum
+    (avoids a B-element HBM gather for an 8-entry table like C)."""
+    iota = np.arange(width, dtype=np.int32)
+    shape = (1,) * idx.ndim + (width,)
+    t = table[:width].reshape(shape)
+    return jnp.sum(jnp.where(idx[..., None] == iota, t, 0), axis=-1)
+
+
 def popcount32(x: jnp.ndarray) -> jnp.ndarray:
     """SWAR popcount of int32/uint32 words -> int32 counts."""
     x = x.astype(jnp.uint32)
@@ -76,7 +99,7 @@ def occ_from_records(
     """Occ(c, i) given the already-gathered record of block i>>7."""
     j = i >> LOG2_BLOCK
     m = i & (BLOCK - 1)
-    ck = jnp.take_along_axis(rec[:, 0:4], c[:, None], axis=1)[:, 0]
+    ck = select_lane(rec[:, 0:4], c, 4)
     inblk = block_rank(rec[:, BWT_WORD0 : BWT_WORD0 + 8], c, m)
     corr = ((c == 0) & ((dollar_row >> LOG2_BLOCK) == j) & (dollar_row < i)).astype(
         jnp.int32
@@ -101,9 +124,7 @@ def occ(
 
 def bwt_code_at(rec: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     """Base code stored at block-local position m of each record (B, 16)."""
-    word = jnp.take_along_axis(
-        rec[:, BWT_WORD0 : BWT_WORD0 + 8], (m >> 4)[:, None], axis=1
-    )[:, 0]
+    word = select_lane(rec[:, BWT_WORD0 : BWT_WORD0 + 8], m >> 4, 8)
     return (word >> (2 * (m & 15))) & 3
 
 
@@ -114,7 +135,7 @@ def mark_bit_and_rank(rec: jnp.ndarray, m: jnp.ndarray) -> tuple[jnp.ndarray, jn
     below m within the block.
     """
     words = rec[:, MARK_WORD0 : MARK_WORD0 + 4]  # (B, 4)
-    bit_word = jnp.take_along_axis(words, (m >> 5)[:, None], axis=1)[:, 0]
+    bit_word = select_lane(words, m >> 5, 4)
     bit = (bit_word >> (m & 31)) & 1
     # mask of bits below m per word k: low clip(m - 32k, 0, 32) bits
     k32 = np.arange(4, dtype=np.int32) * 32
@@ -155,7 +176,7 @@ def occ_pair_from_record(rec, dollar_row, c, sp, ep):
     """
     j = sp >> LOG2_BLOCK
     jep = ep >> LOG2_BLOCK
-    ck_j = jnp.take_along_axis(rec[:, 0:4], c[:, None], axis=1)[:, 0]
+    ck_j = select_lane(rec[:, 0:4], c, 4)
     bwt_j = rec[:, BWT_WORD0 : BWT_WORD0 + 8]
     occ_sp = ck_j + block_rank(bwt_j, c, sp & (BLOCK - 1))
     occ_sp -= (
@@ -165,7 +186,7 @@ def occ_pair_from_record(rec, dollar_row, c, sp, ep):
     mep = ep & (BLOCK - 1)
     in_j = jep == j
     occ_ep_j = ck_j + block_rank(bwt_j, c, mep)
-    ck_n = jnp.take_along_axis(rec[:, NEXT_CK0 : NEXT_CK0 + 4], c[:, None], axis=1)[:, 0]
+    ck_n = select_lane(rec[:, NEXT_CK0 : NEXT_CK0 + 4], c, 4)
     occ_ep_n = ck_n + block_rank(rec[:, NEXT_BWT0 : NEXT_BWT0 + 8], c, mep)
     occ_ep = jnp.where(in_j, occ_ep_j, occ_ep_n)
     occ_ep -= (

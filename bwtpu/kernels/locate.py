@@ -65,12 +65,12 @@ def locate_rows(
         # LF step for unfinished rows ('$' never reached: its SA value 0
         # is sampled, so it is caught by the mark check above).
         c = common.bwt_code_at(rec, m)
-        ck = jnp.take_along_axis(rec[:, 0:4], c[:, None], axis=1)[:, 0]
+        ck = common.select_lane(rec[:, 0:4], c, 4)
         inblk = common.block_rank(rec[:, common.BWT_WORD0 : common.BWT_WORD0 + 8], c, m)
         corr = (
             (c == 0) & ((dollar_row >> common.LOG2_BLOCK) == j) & (dollar_row < r)
         ).astype(jnp.int32)
-        lf = jnp.take(C, c + 1) + ck + inblk - corr
+        lf = common.select_scalar_table(C, c + 1, 8) + ck + inblk - corr
         r = jnp.where(done, r, lf)
         return r, done, rank_out, steps_out
 

@@ -47,7 +47,7 @@ def backward_search(
         both = jnp.concatenate([sp, ep])
         cc = jnp.concatenate([c, c])
         o = common.occ(lattice, dollar_row, cc, both)
-        cbase = jnp.take(C, c + 1)
+        cbase = common.select_scalar_table(C, c + 1, 8)
         sp_new = cbase + o[:B]
         ep_new = cbase + o[B:]
         sp_new = jnp.where(a == 1, 0, sp_new)

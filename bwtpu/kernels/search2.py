@@ -83,7 +83,7 @@ def backward_search_ra(
             return sp2, ep2, strag | (s2 == 1)
         rec = jnp.take(lattice, sp >> 7, axis=0)
         o_sp, o_ep, s2 = common.occ_pair_from_record(rec, dollar_row, c, sp, ep)
-        cbase = jnp.take(C, c + 1)
+        cbase = common.select_scalar_table(C, c + 1, 8)
         sp_new = jnp.where(a == 1, 0, cbase + o_sp)
         ep_new = jnp.where(a == 1, 0, cbase + o_ep)
         sp = jnp.where(active, sp_new, sp)
@@ -112,7 +112,7 @@ def _two_gather_search(lattice, C, dollar_row, ra_codes, ra_amb, lens,
         o = common.occ(
             lattice, dollar_row, jnp.concatenate([c, c]), jnp.concatenate([sp, ep])
         )
-        cbase = jnp.take(C, c + 1)
+        cbase = common.select_scalar_table(C, c + 1, 8)
         sp_new = jnp.where(a == 1, 0, cbase + o[:B])
         ep_new = jnp.where(a == 1, 0, cbase + o[B:])
         return (

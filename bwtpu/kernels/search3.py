@@ -48,7 +48,7 @@ def occ3_pair_from_record(rec, t, sp, ep):
     flags lanes whose ep lies past the record's 256-row window (their
     ep' is garbage; caller re-runs them on the 1-step path).
     """
-    fold = jnp.take_along_axis(rec[:, :OCC3_CODE0], t[:, None], axis=1)[:, 0]
+    fold = common.select_lane(rec[:, :OCC3_CODE0], t, OCC3_CODE0)
     # unpack 256 row codes (one byte each, LSB-first) and match against t
     rep = jnp.repeat(rec[:, OCC3_CODE0:], 4, axis=1)  # (B, 256)
     shifts = (8 * (np.arange(BLOCK3) % 4)).astype(np.int32)
@@ -107,7 +107,7 @@ def backward_search3_uniform(
         a = amb[:, pos]
         rec = jnp.take(lattice, sp >> 7, axis=0)
         o_sp, o_ep, s1 = common.occ_pair_from_record(rec, dollar_row, c, sp, ep)
-        cbase = jnp.take(C, c + 1)
+        cbase = common.select_scalar_table(C, c + 1, 8)
         sp = jnp.where(a == 1, 0, cbase + o_sp)
         ep = jnp.where(a == 1, 0, cbase + o_ep)
         strag = strag | s1
