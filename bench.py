@@ -54,9 +54,12 @@ def main():
     shard0 = jax.tree.map(lambda x: x[0], dev.shard)
     depths = sorted(idx.kmer_tables)
 
-    B = 32768  # larger batches amortize per-step overheads (docs/DESIGN.md)
+    # Large batches amortize the relay's fixed per-dispatch overhead
+    # (~17 ms measured): 32 K reads/batch -> 731 K reads/s, 262 K ->
+    # 1.10 M on the same pipeline (docs/DESIGN.md).
+    B = 262144
     t0 = time.time()
-    n_batches = 4
+    n_batches = 2
     encs = []
     reads = None
     for i in range(n_batches):

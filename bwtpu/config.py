@@ -58,11 +58,13 @@ class EngineConfig:
     # backward-search steps (docs/DESIGN.md). 0 = disabled; None = auto
     # (chosen from genome size at index build: ~log4(n), capped at 12).
     kmer_d: int | None = None
-    # 3-step Occ lattice: one 512 B gather advances backward search by
-    # three bases for both interval bounds (docs/DESIGN.md "multi-step
-    # Occ lattice"). Costs 2 bytes/base of extra HBM at build time;
-    # uniform-length batches then search ~3x fewer rows.
-    occ3: bool = True
+    # Multi-step Occ lattice step size s: one record gather advances
+    # backward search by s bases for both interval bounds (docs/
+    # DESIGN.md "multi-step Occ lattice"). 0 disables. 3 (2 B/base,
+    # 1 KB records) measures fastest on v5e; 4 (4 B/base, 2 KB records)
+    # gathers ~25% fewer rows but its wider records/VPU counts measured
+    # ~18% slower end-to-end — available for future hardware.
+    occ_step: int = 3
 
     def __post_init__(self):
         if self.occ_block != 128:
@@ -71,6 +73,8 @@ class EngineConfig:
             raise ValueError("sa_rate must be >= 1")
         if not (0 <= self.k <= 2):
             raise ValueError("k must be in [0, 2]")
+        if self.occ_step not in (0, 3, 4):
+            raise ValueError("occ_step must be 0 (off), 3 or 4")
 
     def to_json(self) -> str:
         d = dataclasses.asdict(self)
@@ -81,6 +85,8 @@ class EngineConfig:
     def from_json(cls, s: str) -> "EngineConfig":
         d = json.loads(s)
         d["mesh_shape"] = tuple(d.get("mesh_shape", (1, 1)))
+        if "occ3" in d:  # legacy (format v5) flag
+            d["occ_step"] = 3 if d.pop("occ3") else 0
         return cls(**d)
 
     def replace(self, **kw) -> "EngineConfig":

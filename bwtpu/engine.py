@@ -42,7 +42,8 @@ from bwtpu.kernels.compact import compact, scatter_back
 from bwtpu.kernels.locate import locate_rows
 from bwtpu.kernels.search import backward_search, interval_rows
 from bwtpu.kernels.search2 import backward_search_ra, right_align
-from bwtpu.kernels.search3 import backward_search3_uniform
+from bwtpu.kernels.searchk import (backward_searchk_uniform,
+                                   search_early_stop_uniform)
 from bwtpu.kernels.verify2 import (NM_INVALID, build_text_rows,
                                    dedupe_quadratic, pack_reads,
                                    verify_packed)
@@ -68,7 +69,9 @@ class Shard(NamedTuple):
     stacked). A pytree — vmap/shard_map over axis 0."""
 
     lattice: jnp.ndarray  # int32[n_blocks+1, 32]
-    lattice3: jnp.ndarray  # int32[n_blocks3+1, 128]; (1, 128) dummy = absent
+    latk: jnp.ndarray  # int32[n_blocksK+1, W]; W encodes the step (256->3,
+    #                    512->4); (1, 1) dummy = no multi-step lattice
+    latk_inv: jnp.ndarray  # int32[4] rows with SA[r] < step (-1 pad)
     ssa: jnp.ndarray  # int32[n_sampled(max)]
     C: jnp.ndarray  # int32[8]
     dollar_row: jnp.ndarray  # int32
@@ -112,16 +115,21 @@ def upload_index(
         put = lambda x, extra: jax.device_put(x, sharding_fn(extra))
 
     depths = sorted(set.intersection(*[set(s.kmer_tables) for s in shards]))
-    # 3-step lattice: all shards must have it for the (static) 3-step
-    # search path to be usable; otherwise ship a 1-row dummy, whose
-    # shape tells the pipelines to stay on the 1-step path.
-    if all(s.occ3_lattice is not None for s in shards):
-        lat3 = pad_stack([s.occ3_lattice for s in shards])
+    # multi-step lattice: all shards must have it (same step) for the
+    # (static) multi-step search path to be usable; otherwise ship a
+    # dummy whose shape tells the pipelines to stay on the 1-step path.
+    if all(s.occk_lattice is not None for s in shards) and (
+        len({s.occk_lattice.shape[1] for s in shards}) == 1
+    ):
+        latk = pad_stack([s.occk_lattice for s in shards])
+        latk_inv = np.stack([s.occk_invalid for s in shards])
     else:
-        lat3 = np.zeros((len(shards), 1, 128), dtype=np.int32)
+        latk = np.zeros((len(shards), 1, 1), dtype=np.int32)
+        latk_inv = np.full((len(shards), 4), -1, dtype=np.int32)
     shard = Shard(
         lattice=put(pad_stack([s.search_lattice for s in shards]), 2),
-        lattice3=put(lat3, 2),
+        latk=put(latk, 2),
+        latk_inv=put(latk_inv, 1),
         ssa=put(pad_stack([s.ssa for s in shards]), 1),
         C=put(np.stack([s.C for s in shards]), 1),
         dollar_row=put(np.array([s.dollar_row for s in shards], np.int32), 0),
@@ -280,7 +288,7 @@ def _exact_finish(shard, sp, ep, fix_over, *, max_hits, sa_rate, loc_factor,
                   backend):
     """Interval expand -> compacted locate, shared by the search variants."""
     rows, valid, overflow = interval_rows(sp, ep, max_hits)
-    cap = sp.shape[0] * loc_factor
+    cap = max(sp.shape[0] * loc_factor, 4096)
     pos, loc_over = _locate_compacted(
         shard, rows, valid, sa_rate=sa_rate, cap=cap, backend=backend
     )
@@ -337,39 +345,51 @@ def _inexact_from_intervals(
     shard, sp, ep, enc_seed_off, read_words, amb_bits, len_mask, lens,
     *, k, max_loc, sa_rate, loc_factor, backend, fix_over,
 ):
-    """Seed intervals -> locate -> dedupe -> packed verify (shared)."""
+    """Seed intervals -> ONE compaction -> locate -> packed verify.
+
+    All per-candidate work (locate, candidate start math, verify) runs
+    on a single compacted lane set; the verify inputs ride ONE fused
+    gather (separate gathers of read words / ambiguity / length mask /
+    lens cost a full row fetch EACH — docs/DESIGN.md). Duplicate
+    candidates from different seed slots are NOT deduped on device:
+    verifying a duplicate costs one row, while deduping cost a dense
+    (B2, Ct, Ct) pass plus an extra compact round trip; the host
+    assembler (assemble_hits) dedupes on (read, pos, strand) anyway.
+    """
     B2 = read_words.shape[0]
     nS = k + 1
     Ct = nS * max_loc
     rows, rvalid, overflow_s = interval_rows(sp, ep, max_loc)
-    cap_loc = B2 * loc_factor
-    spos, loc_over = _locate_compacted(
-        shard, rows, rvalid, sa_rate=sa_rate, cap=cap_loc, backend=backend
-    )
-    rvalid = rvalid & (spos >= 0)
-
-    cand = (spos - enc_seed_off[:, None]).reshape(B2, Ct)
-    cvalid = rvalid.reshape(B2, Ct)
     overflow = overflow_s.reshape(B2, nS).sum(axis=1)
-    cvalid = dedupe_quadratic(cand, cvalid)
 
-    # compact candidates, verify packed, scatter nm back
-    cap_ver = B2 * loc_factor
-    sel, count, ver_over = compact(cvalid.reshape(-1), cap_ver)
-    sel_valid = jnp.arange(cap_ver, dtype=jnp.int32) < count
-    cand_c = jnp.take(cand.reshape(-1), sel)
-    b_idx = sel // Ct
+    # floor: small batches stopped early can carry several candidates
+    # per lane; a few thousand compacted lanes cost almost nothing
+    cap = max(B2 * loc_factor, 4096)
+    sel, count, comp_over = compact(rvalid.reshape(-1), cap)
+    sel_valid = jnp.arange(cap, dtype=jnp.int32) < count
+    rows_c = jnp.take(rows.reshape(-1), sel)
+    spos_c = locate_rows(
+        shard.lattice, shard.ssa, shard.C, shard.dollar_row,
+        rows_c, sel_valid, sa_rate, backend=backend,
+    )
+    lane = sel // max_loc  # seed-lane id (= read_row * nS + seed_slot)
+    cand_c = spos_c - jnp.take(enc_seed_off, lane)
+    b_idx = lane // nS
+    W = read_words.shape[1]
+    fused = jnp.concatenate(
+        [read_words, amb_bits, len_mask, lens[:, None]], axis=1
+    )
+    fc = jnp.take(fused, b_idx, axis=0)  # (cap, 3W+1)
     nm_c = verify_packed(
-        shard.text_rows, shard.text_len, cand_c, sel_valid,
-        jnp.take(read_words, b_idx, axis=0),
-        jnp.take(amb_bits, b_idx, axis=0),
-        jnp.take(len_mask, b_idx, axis=0),
-        jnp.take(lens, b_idx),
+        shard.text_rows, shard.text_len, cand_c, sel_valid & (spos_c >= 0),
+        fc[:, :W], fc[:, W : 2 * W], fc[:, 2 * W : 3 * W], fc[:, 3 * W],
         backend=backend,
     )
-    nm = scatter_back(nm_c, sel, count, B2 * Ct, fill=NM_INVALID).reshape(B2, Ct)
+    total = B2 * Ct
+    cand = scatter_back(cand_c, sel, count, total, fill=-1).reshape(B2, Ct)
+    nm = scatter_back(nm_c, sel, count, total, fill=NM_INVALID).reshape(B2, Ct)
     hit_valid = nm <= k
-    return cand, nm, hit_valid, overflow, loc_over + fix_over, ver_over
+    return cand, nm, hit_valid, overflow, comp_over + fix_over, jnp.int32(0)
 
 
 # ---------------------------------------------------------------------------
@@ -437,24 +457,39 @@ def device_prep_uniform(read_words, amb_bits, L: int, k: int):
     return codes2, amb2, lens2, rw2, ab2, lm2, seeds
 
 
-def _shard_has_occ3(shard: Shard) -> bool:
-    """Static (trace-time) test: real 3-step lattices have >= 2 rows;
-    upload_index ships a 1-row dummy when any shard lacks one."""
-    return shard.lattice3.shape[-2] > 1
+def _shard_occ_step(shard: Shard) -> int:
+    """Static (trace-time) multi-step size inferred from the lattice
+    record width (bwtpu/index.py OCCK_WIDTH); 0 = dummy, stay 1-step."""
+    return {256: 3, 512: 4}.get(shard.latk.shape[-1], 0)
 
 
 def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
                           sa_rate, loc_factor=2, backend="jnp"):
+    step = _shard_occ_step(shard)
+    if step and d >= 1:
+        # early-stop search + full-length packed verify: exact search is
+        # the k = 0 case of the unified candidate path (hit iff nm == 0;
+        # candidate start = locate(row) - remaining). FM intervals only
+        # narrow, so verifying the <= max_hits candidates of a partial
+        # suffix match is complete (true hits are a subset) and the
+        # verify filters the superset exactly.
+        codes2, amb2, lens2, rw2, ab2, lm2, _ = device_prep_uniform(
+            read_words, amb_bits, L, 0
+        )
+        sp, ep, rem, fix_over = search_early_stop_uniform(
+            shard.lattice, shard.latk, shard.latk_inv, shard.C,
+            shard.dollar_row, shard.kmer_tables[d], codes2, amb2, L, d,
+            step, max_hits,
+        )
+        cand, nm, valid, overflow, loc_over, ver_over = (
+            _inexact_from_intervals(
+                shard, sp, ep, rem, rw2, ab2, lm2, lens2,
+                k=0, max_loc=max_hits, sa_rate=sa_rate,
+                loc_factor=loc_factor, backend=backend, fix_over=fix_over,
+            )
+        )
+        return cand, valid, overflow, loc_over + ver_over
     ra2, raa2, lens2, _, _, _, _ = device_prep_uniform(read_words, amb_bits, L, 0)
-    if _shard_has_occ3(shard) and d >= 1:
-        sp, ep, fix_over = backward_search3_uniform(
-            shard.lattice, shard.lattice3, shard.C, shard.dollar_row,
-            shard.kmer_tables[d], ra2, raa2, L, d,
-        )
-        return _exact_finish(
-            shard, sp, ep, fix_over, max_hits=max_hits, sa_rate=sa_rate,
-            loc_factor=loc_factor, backend=backend,
-        )
     return exact_pipeline(
         shard, ra2, raa2, lens2, d=d, max_hits=max_hits, sa_rate=sa_rate,
         loc_factor=loc_factor, backend=backend,
@@ -463,10 +498,15 @@ def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
 
 def inexact_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, max_loc,
                             sa_rate, loc_factor=4, backend="jnp"):
-    if _shard_has_occ3(shard) and d >= 1:
-        # 3-step path: each seed slot has one uniform (static) length, so
-        # the seed searches run per slot on full-width slices of the
-        # derived codes — no right-aligned seed arrays needed at all.
+    step = _shard_occ_step(shard)
+    if step and d >= 1:
+        # multi-step early-stop path: each seed slot has one uniform
+        # (static) length, so the seed searches run per slot on
+        # full-width slices of the derived codes — no right-aligned
+        # seed arrays at all. A seed stops once its interval fits the
+        # per-seed candidate budget; the full-length verify filters the
+        # partial-suffix superset (candidate start = locate(row) -
+        # (seed offset + remaining)).
         codes2, amb2, lens2, rw2, ab2, lm2, _ = device_prep_uniform(
             read_words, amb_bits, L, 0
         )
@@ -475,18 +515,19 @@ def inexact_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, max_loc,
         sps, eps, offs = [], [], []
         fix_over = jnp.int32(0)
         for off, slen in seed_layout(L, nS):
-            sp_s, ep_s, over = backward_search3_uniform(
-                shard.lattice, shard.lattice3, shard.C, shard.dollar_row,
-                shard.kmer_tables[d], codes2[:, off : off + slen],
-                amb2[:, off : off + slen], slen, d,
+            sp_s, ep_s, rem_s, over = search_early_stop_uniform(
+                shard.lattice, shard.latk, shard.latk_inv, shard.C,
+                shard.dollar_row, shard.kmer_tables[d],
+                codes2[:, off : off + slen],
+                amb2[:, off : off + slen], slen, d, step, max_loc,
             )
             sps.append(sp_s)
             eps.append(ep_s)
-            offs.append(off)
+            offs.append(off + rem_s)
             fix_over = fix_over + over
         sp = jnp.stack(sps, axis=1).reshape(B2 * nS)
         ep = jnp.stack(eps, axis=1).reshape(B2 * nS)
-        seed_off = jnp.tile(jnp.asarray(offs, jnp.int32), (B2, 1)).reshape(-1)
+        seed_off = jnp.stack(offs, axis=1).reshape(B2 * nS)
         return _inexact_from_intervals(
             shard, sp, ep, seed_off, rw2, ab2, lm2, lens2,
             k=k, max_loc=max_loc, sa_rate=sa_rate, loc_factor=loc_factor,

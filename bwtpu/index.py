@@ -62,25 +62,31 @@ MARK_RANK_WORD = 16  # in-record mark-rank checkpoint
 NEXT_CK0 = 17  # next block's Occ checkpoints
 NEXT_BWT0 = 21  # next block's packed BWT words
 
-# 3-step (triple-alphabet) Occ lattice: one 512 B record per 256 BWT
-# rows advances backward search by THREE bases for both interval bounds
-# in a single gather (docs/DESIGN.md "multi-step Occ lattice"):
-#   words  0..63   fold[j][t] = K3[t] + Occ3(t, 256*j), where K3[t] is
-#                  the SA interval start of triple t (first row whose
-#                  suffix begins with t) and Occ3(t, i) counts rows
-#                  r < i whose suffix is preceded by exactly the three
-#                  text chars t (rows with SA[r] < 3 have no preceding
-#                  triple and are never counted),
-#   words 64..127  256 bytes, byte p = preceding-triple code (0..63) of
-#                  row 256*j + p, or 255 for invalid rows (SA[r] < 3 or
-#                  padding past n). LSB-first within each word.
-# Row n_blocks3 is a terminator (full-text folds, codes 255).
-BLOCK3 = 256  # rows per 3-step record
-REC3_WORDS = 128  # int32 words per 3-step record
-OCC3_CODE0 = 64  # first packed-code word in a 3-step record
-OCC3_INVALID = 255  # code for rows with no valid preceding triple
+# Multi-step (s-mer alphabet) Occ lattice: one record per R BWT rows
+# advances backward search by s bases (s = 3 or 4) for both interval
+# bounds in a single gather (docs/DESIGN.md "multi-step Occ lattice").
+# Record layout for step s, alphabet A = 4^s, R rows per block,
+# power-of-2 width W (smallest record that fits measures fastest on
+# v5e; see docs/DESIGN.md):
+#   words 0..A-1     fold[j][t] = Ks[t] + OccS(t, R*j): Ks[t] is the
+#                    SA interval start of s-mer t (first row whose
+#                    suffix begins with t); OccS(t, i) counts rows
+#                    r < i whose suffix is preceded by exactly the s
+#                    text chars t,
+#   words A..A+R/4-1 R bytes, byte p = preceding-s-mer code (0..A-1)
+#                    of row R*j + p, LSB-first. The s rows with
+#                    SA[r] < s have no preceding s-mer: they store code
+#                    0 and are EXCLUDED from fold counts; queries with
+#                    t == 0 subtract them via occk_invalid (the same
+#                    correction scheme as the 1-step '$' row). Padding
+#                    rows past n also store 0 but sit at block-local
+#                    positions no prefix count ever reaches.
+#   remaining words  pad to W.
+# Row n_blocksK is a terminator (full-text folds, codes 0).
+OCCK_BLOCK = {3: 256, 4: 512}  # step -> rows per record R
+OCCK_WIDTH = {3: 128, 4: 512}  # step -> record words W (power of 2)
 
-FORMAT_VERSION = 5
+FORMAT_VERSION = 6
 
 
 def pack_2bit(codes: np.ndarray) -> np.ndarray:
@@ -124,7 +130,8 @@ class FMIndex:
     kmer_tables: dict  # {depth: int32[4^depth, 2]} SA interval per d-mer
     contigs: list[Contig]
     shard_offset: int = 0  # global position of this shard's base 0
-    occ3_lattice: np.ndarray | None = None  # int32[n_blocks3+1, 128]
+    occk_lattice: np.ndarray | None = None  # int32[n_blocksK+1, W]
+    occk_invalid: np.ndarray | None = None  # int32[4]: rows with SA[r] < s (-1 pad)
 
     @property
     def n_blocks(self) -> int:
@@ -262,47 +269,55 @@ def build_fm_index(
             hi = np.searchsorted(kd, qk, side="right")
             kmer_tables[depth] = np.stack([lo, hi], axis=1).astype(np.int32)
 
-    # 3-step Occ lattice (layout documented at BLOCK3 above). Only built
-    # when a k-mer start table exists: the 3-step search path requires a
-    # table start (a [0, n) initial interval would straggle immediately).
-    occ3_lattice = None
-    if config.occ3 and depths and text_len >= 3:
-        pre_code = np.full(n, OCC3_INVALID, dtype=np.int64)
-        v = sa >= 3
-        kpos = sa[v].astype(np.int64)
+    # Multi-step Occ lattice (layout documented at OCCK_BLOCK above). Only
+    # built when a k-mer start table exists: the multi-step search path
+    # requires a table start (a [0, n) initial interval would straggle
+    # immediately).
+    occk_lattice = None
+    occk_invalid = None
+    s = config.occ_step
+    if s and depths and text_len >= s and depths[-1] >= s:
+        A = 4**s
+        W = OCCK_WIDTH[s]
+        R = OCCK_BLOCK[s]
         tc = text_codes.astype(np.int64)
-        pre_code[v] = tc[kpos - 3] * 16 + tc[kpos - 2] * 4 + tc[kpos - 1]
-        n_blocks3 = (n + BLOCK3 - 1) // BLOCK3
-        padded3 = np.full(n_blocks3 * BLOCK3, OCC3_INVALID, dtype=np.int64)
-        padded3[:n] = pre_code
-        ok = padded3 != OCC3_INVALID
-        blk = np.arange(n_blocks3 * BLOCK3) // BLOCK3
-        per_block3 = np.bincount(
-            (blk * 64 + padded3)[ok], minlength=n_blocks3 * 64
-        ).reshape(n_blocks3, 64)
-        ck3 = np.zeros((n_blocks3 + 1, 64), dtype=np.int64)
-        ck3[1:] = np.cumsum(per_block3, axis=0)
-        # K3[t] = first row whose suffix starts with triple t, from the
-        # same SA-ordered suffix keys the start tables use (key exists:
-        # depths is non-empty so `key` was computed at dmax >= 4 > 3).
-        key3 = key // (5 ** (depths[-1] - 3))
-        digits = np.arange(64, dtype=np.int64)
-        qk3 = (
-            ((digits >> 4) & 3) * 25 + ((digits >> 2) & 3) * 5 + (digits & 3)
-            + 31  # == sum over 3 digits of (d_i + 1) * 5^i weights
-        )
-        k3 = np.searchsorted(key3, qk3, side="left")
-        occ3_lattice = np.zeros((n_blocks3 + 1, REC3_WORDS), dtype=np.int32)
-        occ3_lattice[:, :64] = (k3[None, :] + ck3).astype(np.int32)
-        bytes3 = padded3.reshape(n_blocks3, 64, 4).astype(np.uint32)
+        pre_code = np.zeros(n, dtype=np.int64)
+        v = sa >= s
+        kpos = sa[v].astype(np.int64)
+        acc = np.zeros(len(kpos), dtype=np.int64)
+        for i in range(s):
+            acc = acc * 4 + tc[kpos - s + i]
+        pre_code[v] = acc
+        occk_invalid = np.full(4, -1, dtype=np.int32)
+        inv_rows = np.nonzero(~v)[0]
+        occk_invalid[: len(inv_rows)] = inv_rows
+        n_blocksK = (n + R - 1) // R
+        paddedK = np.zeros(n_blocksK * R, dtype=np.int64)
+        paddedK[:n] = pre_code
+        ok = np.zeros(n_blocksK * R, dtype=bool)
+        ok[:n] = v
+        blk = np.arange(n_blocksK * R) // R
+        per_block = np.bincount(
+            (blk * A + paddedK)[ok], minlength=n_blocksK * A
+        ).reshape(n_blocksK, A)
+        ckK = np.zeros((n_blocksK + 1, A), dtype=np.int64)
+        ckK[1:] = np.cumsum(per_block, axis=0)
+        # Ks[t] = first row whose suffix starts with s-mer t, from the
+        # same SA-ordered suffix keys the start tables use.
+        keyS = key // (5 ** (depths[-1] - s))
+        digits = np.arange(A, dtype=np.int64)
+        qk = np.zeros(A, dtype=np.int64)
+        for i in range(s):
+            qk = qk * 5 + ((digits >> (2 * (s - 1 - i))) & 3) + 1
+        kS = np.searchsorted(keyS, qk, side="left")
+        occk_lattice = np.zeros((n_blocksK + 1, W), dtype=np.int32)
+        occk_lattice[:, :A] = (kS[None, :] + ckK).astype(np.int32)
+        bytesK = paddedK.reshape(n_blocksK, R // 4, 4).astype(np.uint32)
         shifts = (8 * np.arange(4, dtype=np.uint32))[None, None, :]
-        words3 = np.bitwise_or.reduce(bytes3 << shifts, axis=2)
-        occ3_lattice[:n_blocks3, OCC3_CODE0:] = words3.view(np.int32).reshape(
-            n_blocks3, 64
-        )
-        occ3_lattice[n_blocks3, OCC3_CODE0:] = np.full(
-            64, 0xFFFFFFFF, dtype=np.uint32
-        ).view(np.int32)
+        wordsK = np.bitwise_or.reduce(bytesK << shifts, axis=2)
+        occk_lattice[:n_blocksK, A : A + R // 4] = wordsK.view(
+            np.int32
+        ).reshape(n_blocksK, R // 4)
 
     return FMIndex(
         config=config,
@@ -318,7 +333,8 @@ def build_fm_index(
         kmer_tables=kmer_tables,
         contigs=contigs,
         shard_offset=shard_offset,
-        occ3_lattice=occ3_lattice,
+        occk_lattice=occk_lattice,
+        occk_invalid=occk_invalid,
     )
 
 
@@ -343,16 +359,24 @@ def host_occ(idx: FMIndex, c: int, i: int) -> int:
     return count
 
 
-def host_occ3(idx: FMIndex, t: int, i: int) -> int:
-    """K3[t] + Occ3(t, i) from the packed 3-step lattice (layout oracle)."""
-    j, m = divmod(i, BLOCK3)
-    rec = idx.occ3_lattice[j]
+def host_occk(idx: FMIndex, t: int, i: int) -> int:
+    """Ks[t] + OccS(t, i) from the packed multi-step lattice (layout
+    oracle), including the invalid-row (SA[r] < s) correction."""
+    s = idx.config.occ_step
+    A = 4**s
+    R = OCCK_BLOCK[s]
+    j, m = divmod(i, R)
+    rec = idx.occk_lattice[j]
     count = int(rec[t])
-    words = rec[OCC3_CODE0:].view(np.uint32)
+    words = rec[A : A + R // 4].view(np.uint32)
     for p in range(m):
         code = (int(words[p // 4]) >> (8 * (p % 4))) & 0xFF
         if code == t:
             count += 1
+    if t == 0:
+        for r in idx.occk_invalid:
+            if r >= 0 and j * R <= r < i:
+                count -= 1
     return count
 
 
@@ -486,8 +510,9 @@ def save_index(path: str, shards: list[FMIndex], manifest: ShardManifest):
         json.dump(meta, f)
     for i, sh in enumerate(shards):
         extra = {}
-        if sh.occ3_lattice is not None:
-            extra["occ3_lattice"] = sh.occ3_lattice
+        if sh.occk_lattice is not None:
+            extra["occk_lattice"] = sh.occk_lattice
+            extra["occk_invalid"] = sh.occk_invalid
         np.savez(
             os.path.join(path, f"shard{i}.npz"),
             text_len=sh.text_len,
@@ -541,7 +566,8 @@ def load_index(path: str) -> tuple[list[FMIndex], ShardManifest]:
                 },
                 contigs=contigs,
                 shard_offset=int(z["shard_offset"]),
-                occ3_lattice=z["occ3_lattice"] if "occ3_lattice" in z else None,
+                occk_lattice=z["occk_lattice"] if "occk_lattice" in z else None,
+                occk_invalid=z["occk_invalid"] if "occk_invalid" in z else None,
             )
         )
     return shards, manifest

@@ -124,12 +124,12 @@ def _two_gather_search(lattice, C, dollar_row, ra_codes, ra_amb, lens,
 
 
 def _fixup_stragglers(lattice, C, dollar_row, kmer_table, ra_codes, ra_amb,
-                      lens, sp0, ep0, sp, ep, strag, d):
+                      lens, sp0, ep0, sp, ep, strag, d, cap=None):
     """Re-run flagged lanes with the two-gather path (compacted)."""
     from bwtpu.kernels.compact import compact
 
     B, L = ra_codes.shape
-    cap = max(256, B // 8)
+    cap = cap if cap is not None else max(256, B // 8)
     sel, count, overflow = compact(strag, cap)
     n_strag = jnp.sum(strag.astype(jnp.int32))
 

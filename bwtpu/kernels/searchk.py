@@ -1,0 +1,269 @@
+"""Exact backward search v4/v5: multi-step Occ lattice + early stop.
+
+Multi-step: one record gather advances the search by s bases (s = 3 or
+4) for both interval bounds (docs/DESIGN.md "multi-step Occ lattice";
+layout in bwtpu/index.py at OCCK_BLOCK). The generalized backward step
+over the s-mer alphabet (SURVEY.md §3.2 recurrence applied to s-char
+blocks):
+
+    sp' = Ks[t] + OccS(t, sp)
+    ep' = Ks[t] + OccS(t, ep)
+
+where t is the next s pattern bases (right-to-left) and OccS(t, i)
+counts rows r < i whose suffix is preceded by exactly the text s-mer
+t. Ks is folded into the stored checkpoints, so a step is: one record
+gather, one in-record one-hot checkpoint select, and two R-lane prefix
+counts on the VPU. The s rows with SA[r] < s store code 0 and are
+excluded from checkpoints; queries with t == 0 subtract them via the
+occk_invalid row list (same scheme as the 1-step '$' row).
+
+Early stop (search_early_stop_uniform): FM intervals only narrow, so
+once a lane's width drops to <= stop_width its candidate rows can be
+located and verified directly against the packed text — the remaining
+~25 chained gathers are pointless. At bacterial scale the k-mer start
+table alone leaves mean width ~1, so the whole-batch loop exits after
+~1 multi-step (a while_loop conditioned on the count of still-wide
+lanes); the few lanes that stay wide (repeats) or straggle (interval
+past the record window) finish on the compacted always-correct 1-step
+two-gather path. Callers get (sp, ep, remaining): the interval is for
+the pattern SUFFIX P[remaining:], so a candidate's read start is
+locate(row) - remaining, and the full-length packed-text verify
+(kernels/verify2.py) decides the hit — exactly the seed-and-extend
+shape (SURVEY.md §7.4) applied to exact search too.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bwtpu.kernels import common
+from bwtpu.kernels.search2 import _fixup_stragglers
+
+OCCK_BLOCK = {3: 256, 4: 512}  # must match bwtpu/index.py
+
+
+def occk_pair_from_record(rec, t, sp, ep, inv, A: int, R: int):
+    """fold + OccS-prefix counts at sp and ep from the record of block
+    sp // R.
+
+    rec: (B, W) int32 gathered records; t: (B,) s-mer codes 0..A-1;
+    sp, ep: (B,) int32 rows; inv: (4,) int32 invalid rows (-1 pad).
+    Returns (sp', ep', strag) where strag flags lanes whose ep lies
+    past the record's R-row window (their ep' is garbage; the caller
+    re-runs them on the 1-step path).
+    """
+    log2r = R.bit_length() - 1
+    fold = common.select_lane(rec[:, :A], t, A)
+    # unpack R row codes (one byte each, LSB-first) and match against t
+    rep = jnp.repeat(rec[:, A : A + R // 4], 4, axis=1)  # (B, R)
+    shifts = (8 * (np.arange(R) % 4)).astype(np.int32)
+    codes = (rep >> shifts) & 0xFF
+    match = codes == t[:, None]
+    idx = np.arange(R, dtype=np.int32)
+    base = (sp >> log2r) << log2r
+    msp = sp - base
+    mep = ep - base
+    cnt_sp = jnp.sum(match & (idx[None, :] < msp[:, None]), axis=1)
+    cnt_ep = jnp.sum(match & (idx[None, :] < mep[:, None]), axis=1)
+    # invalid rows (stored code 0, excluded from fold): subtract when
+    # the query s-mer is 0 and the row falls inside the counted prefix
+    t0 = t == 0
+    for q in range(4):
+        r = inv[q]
+        in_blk = (r >= base) & (r >= 0)
+        off = r - base
+        cnt_sp -= (t0 & in_blk & (off < msp)).astype(jnp.int32)
+        cnt_ep -= (t0 & in_blk & (off < mep)).astype(jnp.int32)
+    strag = mep > R
+    return (
+        (fold + cnt_sp).astype(jnp.int32),
+        (fold + cnt_ep).astype(jnp.int32),
+        strag,
+    )
+
+
+def _kmer_start(kmer_table, codes, amb, L: int, d: int):
+    """Initial interval from the depth-d start table (one row gather)."""
+    weights = (4 ** np.arange(d - 1, -1, -1, dtype=np.int64)).astype(np.int32)
+    key = jnp.sum(codes[:, L - d :] * weights[None, :], axis=1)
+    start = jnp.take(kmer_table, key, axis=0)
+    amb_tail = jnp.sum(amb[:, L - d :], axis=1) > 0
+    sp0 = jnp.where(amb_tail, 0, start[:, 0])
+    ep0 = jnp.where(amb_tail, 0, start[:, 1])
+    return sp0, ep0
+
+
+def _single_step(lattice, C, dollar_row, c, a, sp, ep):
+    """One 1-step update (record gather + paired Occ); returns new
+    (sp, ep, strag)."""
+    rec = jnp.take(lattice, sp >> 7, axis=0)
+    o_sp, o_ep, s1 = common.occ_pair_from_record(rec, dollar_row, c, sp, ep)
+    cbase = common.select_scalar_table(C, c + 1, 8)
+    sp_new = jnp.where(a == 1, 0, cbase + o_sp)
+    ep_new = jnp.where(a == 1, 0, cbase + o_ep)
+    return sp_new, ep_new, s1
+
+
+def _smer_codes(codes, amb, B: int, T: int, step: int):
+    """(B, T) s-mer codes + ambiguity for chain groups, leftmost first."""
+    region = codes[:, : step * T].reshape(B, T, step)
+    wS = (4 ** np.arange(step - 1, -1, -1)).astype(np.int32)
+    t_all = jnp.sum(region * wS[None, None, :], axis=2)
+    a_all = jnp.sum(amb[:, : step * T].reshape(B, T, step), axis=2) > 0
+    return t_all, a_all
+
+
+@partial(jax.jit, static_argnames=("L", "d", "step"))
+def backward_searchk_uniform(
+    lattice: jnp.ndarray,  # int32[n_blocks+1, 32]    1-step records
+    latk: jnp.ndarray,  # int32[n_blocksK+1, W]    multi-step records
+    latk_inv: jnp.ndarray,  # int32[4] invalid rows (-1 pad)
+    C: jnp.ndarray,  # int32[8]
+    dollar_row: jnp.ndarray,  # int32
+    kmer_table: jnp.ndarray,  # int32[4^d, 2]
+    codes: jnp.ndarray,  # int32[B, L] base codes (full width = length L)
+    amb: jnp.ndarray,  # int32[B, L] ambiguity mask
+    L: int,
+    d: int,
+    step: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Full-chain exact backward search of B patterns, all length L
+    (static). Requires d >= 1; returns (sp, ep, overflow) with the same
+    contract as search2.backward_search_ra."""
+    assert d >= 1 and L >= d and step in (3, 4), (L, d, step)
+    A = 4**step
+    R = OCCK_BLOCK[step]
+    B = codes.shape[0]
+    sp0, ep0 = _kmer_start(kmer_table, codes, amb, L, d)
+
+    chain = L - d
+    p = chain % step
+    strag = jnp.zeros(B, dtype=bool)
+    sp, ep = sp0, ep0
+    for sgl in range(p):
+        pos = L - d - 1 - sgl
+        sp, ep, s1 = _single_step(
+            lattice, C, dollar_row, codes[:, pos], amb[:, pos], sp, ep
+        )
+        strag = strag | s1
+
+    T = (chain - p) // step
+    if T > 0:
+        t_all, a_all = _smer_codes(codes, amb, B, T, step)
+
+        def body(t, state):
+            sp, ep, strag = state
+            g = T - 1 - t
+            tS = jax.lax.dynamic_slice_in_dim(t_all, g, 1, axis=1)[:, 0]
+            aS = jax.lax.dynamic_slice_in_dim(a_all, g, 1, axis=1)[:, 0]
+            rec = jnp.take(latk, sp // R, axis=0)
+            sp_new, ep_new, sK = occk_pair_from_record(
+                rec, tS, sp, ep, latk_inv, A, R
+            )
+            sp_new = jnp.where(aS, 0, sp_new)
+            ep_new = jnp.where(aS, 0, ep_new)
+            return sp_new, ep_new, strag | sK
+
+        sp, ep, strag = jax.lax.fori_loop(0, T, body, (sp, ep, strag))
+
+    lens = jnp.full(B, L, jnp.int32)
+    return _fixup_stragglers(
+        lattice, C, dollar_row, kmer_table, codes, amb, lens,
+        sp0, ep0, sp, ep, strag, d,
+    )
+
+
+@partial(jax.jit, static_argnames=("L", "d", "step", "stop_width"))
+def search_early_stop_uniform(
+    lattice: jnp.ndarray,
+    latk: jnp.ndarray,
+    latk_inv: jnp.ndarray,
+    C: jnp.ndarray,
+    dollar_row: jnp.ndarray,
+    kmer_table: jnp.ndarray,
+    codes: jnp.ndarray,  # int32[B, L]
+    amb: jnp.ndarray,  # int32[B, L]
+    L: int,
+    d: int,
+    step: int,
+    stop_width: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Backward search that stops each lane once ep - sp <= stop_width.
+
+    Returns (sp, ep, remaining, overflow): the interval matches the
+    pattern SUFFIX P[remaining:]; a candidate's read start is
+    locate(row) - remaining and MUST be verified against the text
+    (candidates of a partial suffix are a superset of the true hits).
+    Lanes that never narrow (repeats) or straggle finish on the
+    compacted 1-step two-gather path with remaining == 0 (their
+    intervals are exact). overflow counts lanes beyond that path's
+    capacity (forced empty, never silent).
+    """
+    assert d >= 1 and L >= d and step in (3, 4), (L, d, step)
+    A = 4**step
+    R = OCCK_BLOCK[step]
+    B = codes.shape[0]
+    sp0, ep0 = _kmer_start(kmer_table, codes, amb, L, d)
+
+    # s-mer groups are anchored at the RIGHT end of the chain so the
+    # fast path never runs phase singles (a masked full-batch step
+    # still fetches a row per lane); the p leftover positions at the
+    # pattern's left end belong to the compacted finisher below, which
+    # re-runs its few lanes' whole chain anyway.
+    chain = L - d
+    p = chain % step
+    T = chain // step
+    rem = jnp.full(B, chain, jnp.int32)
+    strag = jnp.zeros(B, dtype=bool)
+    stopped = (ep0 - sp0) <= stop_width
+    sp, ep = sp0, ep0
+
+    cap = max(256, B // 64)  # compacted-finisher capacity
+    if T > 0:
+        t_all, a_all = _smer_codes(codes[:, p:], amb[:, p:], B, T, step)
+
+        def cond(state):
+            sp, ep, rem, stopped, strag, t = state
+            n_pool = jnp.sum((~stopped).astype(jnp.int32))
+            return (t < T) & (n_pool > cap)
+
+        def body(state):
+            sp, ep, rem, stopped, strag, t = state
+            g = T - 1 - t
+            tS = jax.lax.dynamic_slice_in_dim(t_all, g, 1, axis=1)[:, 0]
+            aS = jax.lax.dynamic_slice_in_dim(a_all, g, 1, axis=1)[:, 0]
+            active = ~stopped & ~strag
+            rec = jnp.take(latk, sp // R, axis=0)
+            sp_n, ep_n, sK = occk_pair_from_record(
+                rec, tS, sp, ep, latk_inv, A, R
+            )
+            sp_n = jnp.where(aS, 0, sp_n)
+            ep_n = jnp.where(aS, 0, ep_n)
+            sp = jnp.where(active, sp_n, sp)
+            ep = jnp.where(active, ep_n, ep)
+            rem = jnp.where(active, rem - step, rem)
+            strag = strag | (active & sK)
+            # a lane that straggled THIS step has a garbage ep: only
+            # strag-free lanes may stop on the width test
+            stopped = stopped | (active & ~sK & ((ep - sp) <= stop_width))
+            return sp, ep, rem, stopped, strag, t + 1
+
+        sp, ep, rem, stopped, strag, _ = jax.lax.while_loop(
+            cond, body, (sp, ep, rem, stopped, strag, jnp.int32(0))
+        )
+
+    # finish still-wide, leftover-phase and straggler lanes with the
+    # full 1-step chain (compacted); their intervals become exact, so
+    # remaining = 0
+    unfinished = (~stopped & (rem > 0)) | strag
+    lens = jnp.full(B, L, jnp.int32)
+    sp, ep, overflow = _fixup_stragglers(
+        lattice, C, dollar_row, kmer_table, codes, amb, lens,
+        sp0, ep0, sp, ep, unfinished, d, cap=cap,
+    )
+    rem = jnp.where(unfinished, 0, rem)
+    return sp, ep, rem, overflow

@@ -106,3 +106,22 @@ def test_debug_checks_path(world8):
     got = eng.align_batch(reads, k=0)
     for r, hits in zip(reads, got):
         assert hits == golden.align_read(r.seq, k=0)
+
+
+def test_ring_ragged_lengths_parity(world8):
+    """Mixed-length batches take the ragged (encode_batch) ring path;
+    uniform batches take the packed ring — both must agree with golden."""
+    from bwtpu.io import Read
+
+    genome, golden = world8
+    shards, manifest = build_sharded_index(genome, 4, config=CFG, overlap=64)
+    eng = DistEngine(shards, manifest, n_data=2)
+    rng = np.random.default_rng(76)
+    reads = []
+    for i, ln in enumerate(rng.integers(25, 50, 16)):
+        s = int(rng.integers(0, len(genome) - int(ln)))
+        reads.append(Read(f"v{i}", genome[s : s + int(ln)]))
+    for k in (0, 2):
+        got = eng.align_batch(reads, k=k)
+        for r, hits in zip(reads, got):
+            assert hits == golden.align_read(r.seq, k=k), (k, r.rid)
