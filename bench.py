@@ -72,9 +72,12 @@ def main():
 
     # --- exact (config 1) ---
     d = pick_kmer_depth(depths, 100)
+    # loc_factor=1: exact candidates average ~0.6/lane (early stop at
+    # width <= max_hits), so the B2-lane compaction cap is 60% idle
+    # already; overflow is counted, never silent
     fx = jax.jit(functools.partial(
         exact_pipeline_packed, L=100, d=d, max_hits=cfg.max_hits,
-        sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor))
+        sa_rate=cfg.sa_rate, loc_factor=1))
     np.asarray(fx(shard0, *encs[0])[0])
     exact_rps = 0.0
     for _ in range(2):  # best-of-2: the relay sporadically stalls for tens of s
