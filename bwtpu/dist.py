@@ -396,12 +396,26 @@ class DistEngine:
             [sh.shard_offset for sh in self.shards],
         )
 
-    def align_batch(self, reads, k: int | None = None) -> list[list[Hit]]:
+    def align_batch(
+        self, reads, k: int | None = None, packed: bool | None = None
+    ) -> list[list[Hit]]:
+        """packed: None = auto-detect from this batch (single host). In a
+        MULTI-HOST run the packed/ragged choice selects which collective
+        program executes, so every host must pass the same explicit
+        value (bwtpu.multihost agrees on it with an allgather up front)
+        — auto-detect would deadlock hosts with differing batches."""
         k = self.config.k if k is None else k
         L = len(reads[0].seq) if reads else 0
-        if reads and 0 < L <= self.config.read_len and all(
-            len(r.seq) == L for r in reads
-        ):
+        uniform = bool(
+            reads
+            and 0 < L <= self.config.read_len
+            and all(len(r.seq) == L for r in reads)
+        )
+        if packed is None:
+            packed = uniform
+        elif packed and not uniform:
+            raise ValueError("packed=True requires uniform-length reads")
+        if packed:
             return self._align_batch_packed(reads, k, L)
         lanes = self.n_lanes
         # pad so the stacked-strand batch (2B rows) splits evenly over devices

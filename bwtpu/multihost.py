@@ -69,13 +69,23 @@ def run(args):
     reads = read_reads(args.reads)
     bs = args.batch_size
     n_batches = -(-len(reads) // bs)
-    # agree on a common batch count so every host issues the same
-    # number of collectives (empty batches are padded internally)
+    # Cross-host agreement (SURVEY.md §5.2 — every host must execute
+    # the SAME collective program the SAME number of times):
+    #   - common batch count (hosts with fewer reads run filler batches)
+    #   - common packed/ragged path: the packed ring is a different
+    #     compiled program, so it is only used if EVERY host's whole
+    #     stream is one uniform read length
+    lens = [len(r.seq) for r in reads] or [0]
+    lmin, lmax = min(lens), max(lens)
     if args.num_processes > 1:
         from jax.experimental import multihost_utils
 
-        counts = multihost_utils.process_allgather(np.array([n_batches]))
-        n_batches = int(counts.max())
+        agg = multihost_utils.process_allgather(
+            np.array([n_batches, lmin, lmax])
+        ).reshape(args.num_processes, 3)
+        n_batches = int(agg[:, 0].max())
+        lmin, lmax = int(agg[:, 1].min()), int(agg[:, 2].max())
+    packed = 0 < lmin == lmax <= eng.config.read_len
 
     out_path = (
         args.out
@@ -87,10 +97,18 @@ def run(args):
     with open(out_path, "w") as out:
         if args.process_id == 0 or args.num_processes > 1:
             out.write(sam_header(manifest.contigs))
+        from bwtpu.io import Read
+
+        filler = reads[0] if reads else Read(
+            rid="__filler__", seq="A" * max(lmax, 1)
+        )
         for bi in range(n_batches):
             chunk = reads[bi * bs : (bi + 1) * bs]
-            pad = chunk or [reads[0]]  # empty batch: align a dummy, drop output
-            hits = eng.align_batch(pad, k=args.k)
+            # every host aligns EXACTLY bs reads per round (fillers are
+            # dropped from the output) so batch shapes — and therefore
+            # the compiled collective program — match across hosts
+            padded = chunk + [filler] * (bs - len(chunk))
+            hits = eng.align_batch(padded, k=args.k, packed=packed)
             if chunk:
                 emit_sam(chunk, hits[: len(chunk)], manifest.contigs, out,
                          header=False)
