@@ -77,7 +77,7 @@ def main():
     # already; overflow is counted, never silent
     fx = jax.jit(functools.partial(
         exact_pipeline_packed, L=100, d=d, max_hits=cfg.max_hits,
-        sa_rate=cfg.sa_rate, loc_factor=1))
+        sa_rate=cfg.sa_rate, loc_factor=1, compact_output=True))
     np.asarray(fx(shard0, *encs[0])[0])
     exact_rps = 0.0
     for _ in range(2):  # best-of-2: the relay sporadically stalls for tens of s
@@ -91,7 +91,7 @@ def main():
     d_seed = pick_kmer_depth(depths, 100 // 3)
     fi = jax.jit(functools.partial(
         inexact_pipeline_packed, L=100, k=2, d=d_seed, max_loc=cfg.max_cand,
-        sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor))
+        sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor, compact_output=True))
     np.asarray(fi(shard0, *encs[0])[1])
     k2_rps = 0.0
     for _ in range(2):

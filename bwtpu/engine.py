@@ -344,6 +344,7 @@ def inexact_pipeline(
 def _inexact_from_intervals(
     shard, sp, ep, enc_seed_off, read_words, amb_bits, len_mask, lens,
     *, k, max_loc, sa_rate, loc_factor, backend, fix_over,
+    compact_output=False,
 ):
     """Seed intervals -> ONE compaction -> locate -> packed verify.
 
@@ -385,6 +386,11 @@ def _inexact_from_intervals(
         fc[:, :W], fc[:, W : 2 * W], fc[:, 2 * W : 3 * W], fc[:, 3 * W],
         backend=backend,
     )
+    if compact_output:
+        # single-chip fast path: skip the dense scatter_backs entirely
+        # (TPU scatter measured ~163 ns/element — docs/DESIGN.md) and
+        # hand the host the compacted hit list to decode
+        return cand_c, nm_c, sel, count, overflow, comp_over + fix_over
     total = B2 * Ct
     cand = scatter_back(cand_c, sel, count, total, fill=-1).reshape(B2, Ct)
     nm = scatter_back(nm_c, sel, count, total, fill=NM_INVALID).reshape(B2, Ct)
@@ -464,8 +470,10 @@ def _shard_occ_step(shard: Shard) -> int:
 
 
 def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
-                          sa_rate, loc_factor=2, backend="jnp"):
+                          sa_rate, loc_factor=2, backend="jnp",
+                          compact_output=False):
     step = _shard_occ_step(shard)
+    assert not (compact_output and not (step and d >= 1))
     if step and d >= 1:
         # early-stop search + full-length packed verify: exact search is
         # the k = 0 case of the unified candidate path (hit iff nm == 0;
@@ -481,13 +489,15 @@ def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
             shard.dollar_row, shard.kmer_tables[d], codes2, amb2, L, d,
             step, max_hits,
         )
-        cand, nm, valid, overflow, loc_over, ver_over = (
-            _inexact_from_intervals(
-                shard, sp, ep, rem, rw2, ab2, lm2, lens2,
-                k=0, max_loc=max_hits, sa_rate=sa_rate,
-                loc_factor=loc_factor, backend=backend, fix_over=fix_over,
-            )
+        out = _inexact_from_intervals(
+            shard, sp, ep, rem, rw2, ab2, lm2, lens2,
+            k=0, max_loc=max_hits, sa_rate=sa_rate,
+            loc_factor=loc_factor, backend=backend, fix_over=fix_over,
+            compact_output=compact_output,
         )
+        if compact_output:
+            return out
+        cand, nm, valid, overflow, loc_over, ver_over = out
         return cand, valid, overflow, loc_over + ver_over
     ra2, raa2, lens2, _, _, _, _ = device_prep_uniform(read_words, amb_bits, L, 0)
     return exact_pipeline(
@@ -497,8 +507,10 @@ def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
 
 
 def inexact_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, max_loc,
-                            sa_rate, loc_factor=4, backend="jnp"):
+                            sa_rate, loc_factor=4, backend="jnp",
+                            compact_output=False):
     step = _shard_occ_step(shard)
+    assert not (compact_output and not (step and d >= 1))
     if step and d >= 1:
         # multi-step early-stop path: each seed slot has one uniform
         # (static) length, so the seed searches run per slot on
@@ -532,6 +544,7 @@ def inexact_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, max_loc,
             shard, sp, ep, seed_off, rw2, ab2, lm2, lens2,
             k=k, max_loc=max_loc, sa_rate=sa_rate, loc_factor=loc_factor,
             backend=backend, fix_over=fix_over,
+            compact_output=compact_output,
         )
     _, _, lens2, rw2, ab2, lm2, seeds = device_prep_uniform(
         read_words, amb_bits, L, k
@@ -648,16 +661,19 @@ class Engine:
             codes = c.reshape(B, L).astype(np.int32)
             amb = m.reshape(B, L).astype(np.int32)
             rw, ab, _ = pack_reads(codes, amb, np.full(B, L, np.int32))
-            if k == 0:
-                d = pick_kmer_depth(self.kmer_depths, L)
-                fn = self._packed_fn("exact", k, d, L)
-            else:
-                d = pick_kmer_depth(self.kmer_depths, L // (k + 1))
-                fn = self._packed_fn("inexact", k, d, L)
+            d = pick_kmer_depth(
+                self.kmer_depths, L if k == 0 else L // (k + 1)
+            )
+            # compacted outputs skip the dense scatter_backs (TPU scatter
+            # ~163 ns/element — docs/DESIGN.md); needs the multi-step path
+            compact = bool(_shard_occ_step(shard) and d >= 1)
+            kind = "exact" if k == 0 else "inexact"
+            fn = self._packed_fn(kind, k, d, L, compact)
             for s in range(S):
                 sh_s = jax.tree.map(lambda x: x[s], shard)
                 shard_outs.append(fn(sh_s, rw, ab))
-            return (reads, B, k, shard_outs, time.perf_counter())
+            mode = "compact" if compact else "dense"
+            return (reads, B, k, shard_outs, time.perf_counter(), mode)
 
         enc, B = encode_batch(self.config, reads, k)
         if k == 0:
@@ -678,10 +694,13 @@ class Engine:
                         enc.len_mask, enc.lens,
                     )
                 )
-        return (reads, B, k, shard_outs, time.perf_counter())
+        return (reads, B, k, shard_outs, time.perf_counter(), "dense")
 
-    def _packed_fn(self, kind: str, k: int, d: int, L: int):
-        key = ("packed", kind, k, d, L, self.config.max_hits, self.config.max_cand)
+    def _packed_fn(self, kind: str, k: int, d: int, L: int, compact: bool):
+        key = (
+            "packed", kind, k, d, L, compact,
+            self.config.max_hits, self.config.max_cand,
+        )
         if key not in self._compiled:
             cfg, backend = self.config, self.backend
             if kind == "exact":
@@ -690,7 +709,7 @@ class Engine:
                     return exact_pipeline_packed(
                         shard, rw, ab, L=L, d=d, max_hits=cfg.max_hits,
                         sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor,
-                        backend=backend,
+                        backend=backend, compact_output=compact,
                     )
             else:
 
@@ -698,14 +717,35 @@ class Engine:
                     return inexact_pipeline_packed(
                         shard, rw, ab, L=L, k=k, d=d, max_loc=cfg.max_cand,
                         sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor,
-                        backend=backend,
+                        backend=backend, compact_output=compact,
                     )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
 
     def finish_batch(self, handle) -> list[list[Hit]]:
-        reads, B, k, shard_outs, t_disp = handle
+        reads, B, k, shard_outs, t_disp, mode = handle
         t1 = time.perf_counter()
+        if mode == "compact":
+            # (cand_c, nm_c, sel, count, overflow, comp_over) per shard
+            Ct = (k + 1) * self.config.max_cand if k else self.config.max_hits
+            shard_comp = [
+                tuple(np.asarray(o[i]) for i in range(4)) for o in shard_outs
+            ]
+            overflow = np.stack([np.asarray(o[4]) for o in shard_outs])
+            compact_over = sum(int(np.asarray(o[5])) for o in shard_outs)
+            self.stats.device_s += time.perf_counter() - t_disp
+            if compact_over:
+                log.warning(
+                    "align_batch: compaction capacity overflowed by %d rows; "
+                    "results may be incomplete — raise loc_factor",
+                    compact_over,
+                )
+            out = assemble_hits_compact(
+                reads, B, shard_comp, k, Ct,
+                [sh.text_len for sh in self.shards],
+                [sh.shard_offset for sh in self.shards],
+            )
+            return self._finish_stats(reads, out, overflow, compact_over, t1)
         if k == 0:
             pos = np.stack([np.asarray(o[0]) for o in shard_outs])
             valid = np.stack([np.asarray(o[1]) for o in shard_outs])
@@ -742,12 +782,15 @@ class Engine:
             [sh.text_len for sh in self.shards],
             [sh.shard_offset for sh in self.shards],
         )
+        return self._finish_stats(reads, out, overflow, compact_over, t1)
+
+    def _finish_stats(self, reads, out, overflow, compact_over, t1):
         n_over = int((overflow.sum(axis=0) > 0).sum())
         if n_over:
             log.warning(
-                "align_batch: %d/%d read-strand rows overflowed interval "
+                "align_batch: %d read-strand rows overflowed interval "
                 "capacity (max_hits=%d, max_cand=%d); raise the caps",
-                n_over, 2 * B, self.config.max_hits, self.config.max_cand,
+                n_over, self.config.max_hits, self.config.max_cand,
             )
         t2 = time.perf_counter()
         self.stats.reads += len(reads)
@@ -779,19 +822,13 @@ class Engine:
         return out
 
 
-def assemble_hits(reads, B, pos, nm, valid, text_lens, offsets):
-    """(S, 2B, H) device outputs -> per-read deduped sorted Hit lists.
-
-    Vectorized over the valid entries; strand from row index, shard slot
-    from axis 0, global position resolved with int64 offsets.
-    """
+def _assemble_flat(reads, B, s_idx, row_idx, p, m, text_lens, offsets):
+    """Flat (shard, read-strand row, local pos, nm) vectors -> per-read
+    deduped sorted Hit lists (strand from row index, global position
+    resolved with int64 offsets)."""
     n_reads = len(reads)
-    S = pos.shape[0]
     read_lens = np.array([len(r.seq) for r in reads], dtype=np.int64)
-
-    s_idx, row_idx, h_idx = np.nonzero(valid)
-    p = pos[s_idx, row_idx, h_idx].astype(np.int64)
-    m = nm[s_idx, row_idx, h_idx] if nm is not None else np.zeros(len(p), int)
+    p = p.astype(np.int64)
     b = row_idx % B
     keep = b < n_reads
     s_idx, row_idx, p, m, b = s_idx[keep], row_idx[keep], p[keep], m[keep], b[keep]
@@ -811,3 +848,35 @@ def assemble_hits(reads, B, pos, nm, valid, text_lens, offsets):
     for (bb, gp, sr), mm in best.items():
         out[bb].append(Hit(nm=mm, strand="-" if sr else "+", pos=gp))
     return [sort_hits(h) for h in out]
+
+
+def assemble_hits(reads, B, pos, nm, valid, text_lens, offsets):
+    """(S, 2B, H) dense device outputs -> per-read Hit lists."""
+    s_idx, row_idx, h_idx = np.nonzero(valid)
+    p = pos[s_idx, row_idx, h_idx]
+    m = nm[s_idx, row_idx, h_idx] if nm is not None else np.zeros(len(p), int)
+    return _assemble_flat(reads, B, s_idx, row_idx, p, m, text_lens, offsets)
+
+
+def assemble_hits_compact(reads, B, shard_comp, k, Ct, text_lens, offsets):
+    """Compacted device outputs -> per-read Hit lists.
+
+    shard_comp: per shard (cand_c, nm_c, sel, count) where sel indexes
+    the flat (2B * Ct) candidate slots (read-strand row = sel // Ct).
+    """
+    s_l, row_l, p_l, m_l = [], [], [], []
+    for s, (cand_c, nm_c, sel, count) in enumerate(shard_comp):
+        cnt = int(count)
+        cand_c, nm_c, sel = cand_c[:cnt], nm_c[:cnt], sel[:cnt]
+        keep = nm_c <= k
+        cand_c, nm_c, sel = cand_c[keep], nm_c[keep], sel[keep]
+        s_l.append(np.full(len(sel), s, dtype=np.int64))
+        row_l.append(sel // Ct)
+        p_l.append(cand_c)
+        m_l.append(nm_c)
+    return _assemble_flat(
+        reads, B,
+        np.concatenate(s_l), np.concatenate(row_l),
+        np.concatenate(p_l), np.concatenate(m_l),
+        text_lens, offsets,
+    )
