@@ -8,6 +8,10 @@ and extrapolated.
 
 Config: E. coli-scale (4.6 Mbp) random genome, 100 bp simulated reads,
 both strands, replicated index, one chip (BASELINE configs 1-2).
+`--smoke` runs a 50 kbp / 1 K-read miniature of the same code path so
+trace-time failures on the bench entry can never ship silently
+(VERDICT r1 item 2c); it is wired into the test suite and Makefile.
+
 Measurement method (docs/DESIGN.md): N DISTINCT pre-staged device
 batches are dispatched back-to-back and blocked on once at the end.
 - Distinct inputs: repeated identical dispatches get served from caches
@@ -19,51 +23,135 @@ batches are dispatched back-to-back and blocked on once at the end.
   so the wall is closed by materializing EVERY output after all
   dispatches: wall ~= sum of device times + one round trip + output
   transfers — which is also how a production stream runs.
+
+Roofline (VERDICT r1 item 7): the early-stop engine's speed of light is
+restated in BYTES GATHERED PER READ by stage (kmer start, multi-step
+probe trips, compacted 1-step finisher, locate, packed verify) with the
+two data-dependent quantities (probe trips, finisher lane count)
+measured on-device via search_early_stop_uniform(with_stats=True).
+The model counts data-dependent gather traffic only — elementwise
+intermediates that XLA streams through HBM are excluded — so it is a
+true lower bound and `sol_fraction` = model_time / measured_time an
+honest upper bound on achieved efficiency.
 """
 
 from __future__ import annotations
 
+import argparse
 import functools
 import json
 import time
 
 import numpy as np
 
+HBM_GBPS = {  # device_kind substring -> HBM bandwidth (bytes/s)
+    "v5 lite": 819e9, "v5e": 819e9,
+    "v5p": 2765e9, "v5": 2765e9,
+    "v6": 1640e9, "trillium": 1640e9,
+    "v4": 1228e9,
+}
+
+
+def hbm_bandwidth(dev) -> float:
+    kind = getattr(dev, "device_kind", "").lower()
+    for key, bw in HBM_GBPS.items():
+        if key in kind:
+            return bw
+    return 819e9  # conservative default (v5e)
+
+
+def gather_model_bytes(B2, L, d, step, trips, n_unf, max_loc, nS,
+                       loc_factor, sa_rate):
+    """Data-dependent gather bytes for one packed compact-path batch.
+
+    Stages (bwtpu/engine.py exact/inexact_pipeline_packed):
+      kmer start        B2*nS lanes x 8 B table row
+      multi-step probes trips x B2*nS lanes x OCCK record (step 3: 512 B)
+      finisher          cap_fix lanes x (slen-d) steps x 2 x 128 B
+      locate            cap_loc rows x (4 B direct SA | sa_rate walk)
+      verify            cap_loc rows x (text window row + fused read row)
+    Compacted arrays have STATIC shapes, so traffic is the capacity,
+    not the live count; n_unf only gates whether the finisher runs.
+    """
+    from bwtpu.index import OCCK_WIDTH
+    from bwtpu.kernels.verify2 import window_row_width
+
+    lanes = B2 * nS
+    slen = L // nS if nS > 1 else L
+    rec_k = OCCK_WIDTH[step] * 4
+    cap_fix = max(256, B2 // 64)
+    cap_loc = max(B2 * loc_factor, 4096)
+    W = (L + 15) // 16
+
+    total = lanes * 8                      # kmer table rows
+    total += trips * lanes * rec_k         # multi-step probe gathers
+    if n_unf > 0:                          # compacted 1-step finisher
+        total += nS * cap_fix * max(slen - d, 0) * 2 * 128
+    if sa_rate == 1:                       # locate
+        total += cap_loc * 4
+    else:
+        total += cap_loc * sa_rate * 128
+    total += cap_loc * (window_row_width(L) * 4 + (3 * W + 1) * 4)  # verify
+    return total
+
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--smoke", action="store_true",
+                    help="50 kbp genome, 1 K reads — trace/shape check")
+    ap.add_argument("--backend", default=None,
+                    help="kernel backend (default: engine default = "
+                         "production config)")
+    ap.add_argument("--batch", type=int, default=None)
+    ap.add_argument("--nbatches", type=int, default=2)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (the container's sitecustomize "
+                         "re-exports JAX_PLATFORMS=axon; this out-ranks it)")
+    args = ap.parse_args()
+
     import jax
 
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
     from bwtpu.config import EngineConfig
-    from bwtpu.engine import (exact_pipeline_packed, inexact_pipeline_packed,
+    from bwtpu.engine import (default_backend, device_prep_uniform,
+                              exact_pipeline_packed, inexact_pipeline_packed,
                               pack_reads_for_bench, pick_kmer_depth,
                               upload_index)
     from bwtpu.golden import GoldenFMIndex
     from bwtpu.index import build_fm_index
+    from bwtpu.kernels.searchk import search_early_stop_uniform
+    from bwtpu.kernels.verify import seed_layout
     from bwtpu.simulate import ECOLI_SCALE, random_genome, simulate_reads
 
     t0_all = time.time()
     timings = {}
+    backend = args.backend or default_backend()
     # sa_rate=1: full SA resident (4 B/base; ~18 MB at E. coli scale) so
     # locate is one element gather, no LF walk (docs/DESIGN.md)
-    cfg = EngineConfig(sa_rate=1, max_hits=4, max_cand=8, read_len=100)
-    genome = random_genome(ECOLI_SCALE, seed=1)
+    L = 100
+    cfg = EngineConfig(sa_rate=1, max_hits=4, max_cand=8, read_len=L)
+    n_genome = 50_000 if args.smoke else ECOLI_SCALE
+    genome = random_genome(n_genome, seed=1)
     t0 = time.time()
     idx = build_fm_index(genome, cfg)
     timings["index_build_s"] = round(time.time() - t0, 1)
     dev = upload_index([idx])
     shard0 = jax.tree.map(lambda x: x[0], dev.shard)
     depths = sorted(idx.kmer_tables)
+    step = cfg.occ_step
 
     # Large batches amortize the relay's fixed per-dispatch overhead
     # (~17 ms measured): 32 K reads/batch -> 731 K reads/s, 262 K ->
     # 1.10 M on the same pipeline (docs/DESIGN.md).
-    B = 262144
+    B = args.batch or (1024 if args.smoke else 262144)
     t0 = time.time()
-    n_batches = 2
+    n_batches = args.nbatches
     encs = []
     reads = None
     for i in range(n_batches):
-        rds, _ = simulate_reads(genome, B, read_len=100, max_mismatches=2,
+        rds, _ = simulate_reads(genome, B, read_len=L, max_mismatches=2,
                                 seed=2 + i)
         reads = reads or rds
         rw, ab = pack_reads_for_bench(rds)
@@ -71,13 +159,14 @@ def main():
     timings["encode_upload_s"] = round(time.time() - t0, 1)
 
     # --- exact (config 1) ---
-    d = pick_kmer_depth(depths, 100)
+    d = pick_kmer_depth(depths, L)
     # loc_factor=1: exact candidates average ~0.6/lane (early stop at
     # width <= max_hits), so the B2-lane compaction cap is 60% idle
     # already; overflow is counted, never silent
     fx = jax.jit(functools.partial(
-        exact_pipeline_packed, L=100, d=d, max_hits=cfg.max_hits,
-        sa_rate=cfg.sa_rate, loc_factor=1, compact_output=True))
+        exact_pipeline_packed, L=L, d=d, max_hits=cfg.max_hits,
+        sa_rate=cfg.sa_rate, loc_factor=1, backend=backend,
+        compact_output=True))
     np.asarray(fx(shard0, *encs[0])[0])
     exact_rps = 0.0
     for _ in range(2):  # best-of-2: the relay sporadically stalls for tens of s
@@ -88,10 +177,11 @@ def main():
         exact_rps = max(exact_rps, B * n_batches / (time.time() - t0))
 
     # --- inexact k=2 (config 2) ---
-    d_seed = pick_kmer_depth(depths, 100 // 3)
+    d_seed = pick_kmer_depth(depths, L // 3)
     fi = jax.jit(functools.partial(
-        inexact_pipeline_packed, L=100, k=2, d=d_seed, max_loc=cfg.max_cand,
-        sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor, compact_output=True))
+        inexact_pipeline_packed, L=L, k=2, d=d_seed, max_loc=cfg.max_cand,
+        sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor, backend=backend,
+        compact_output=True))
     np.asarray(fi(shard0, *encs[0])[1])
     k2_rps = 0.0
     for _ in range(2):
@@ -100,6 +190,32 @@ def main():
         for o in outs:
             np.asarray(o[1][:64])
         k2_rps = max(k2_rps, B * n_batches / (time.time() - t0))
+
+    # --- roofline: measure the data-dependent quantities, then model ---
+    bw = hbm_bandwidth(jax.devices()[0])
+    codes2, amb2, *_ = device_prep_uniform(*encs[0], L, 0)
+    B2 = int(codes2.shape[0])
+    *_, trips, n_unf = search_early_stop_uniform(
+        shard0.lattice, shard0.latk, shard0.latk_inv, shard0.C,
+        shard0.dollar_row, shard0.kmer_tables[d], codes2, amb2, L, d,
+        step, cfg.max_hits, with_stats=True)
+    trips, n_unf = int(trips), int(n_unf)
+    ex_bytes = gather_model_bytes(
+        B2, L, d, step, trips, n_unf, cfg.max_hits, 1, 1, cfg.sa_rate)
+    sol_exact_rps = bw / (ex_bytes / B)
+    trips_k2 = n_unf_k2 = 0
+    for off, slen in seed_layout(L, 3):
+        *_, t_s, u_s = search_early_stop_uniform(
+            shard0.lattice, shard0.latk, shard0.latk_inv, shard0.C,
+            shard0.dollar_row, shard0.kmer_tables[d_seed],
+            codes2[:, off:off + slen], amb2[:, off:off + slen],
+            slen, d_seed, step, cfg.max_cand, with_stats=True)
+        trips_k2 += int(t_s)
+        n_unf_k2 += int(u_s)
+    k2_bytes = gather_model_bytes(
+        B2, L, d_seed, step, trips_k2, n_unf_k2, cfg.max_cand, 3,
+        cfg.loc_factor, cfg.sa_rate)
+    sol_k2_rps = bw / (k2_bytes / B)
 
     # --- CPU reference (golden, interpreted walks) on a sample ---
     t0 = time.time()
@@ -116,7 +232,8 @@ def main():
     cpu_k2_rps = 5 / (time.time() - t0)
 
     print(json.dumps({
-        "metric": "reads/s/chip exact 100bp E.coli-scale (both strands)",
+        "metric": "reads/s/chip exact 100bp E.coli-scale (both strands)"
+                  + (" [SMOKE]" if args.smoke else ""),
         "value": round(exact_rps, 1),
         "unit": "reads/s",
         "vs_baseline": round(exact_rps / cpu_exact_rps, 1),
@@ -125,6 +242,16 @@ def main():
             "cpu_ref_exact_reads_per_s": round(cpu_exact_rps, 2),
             "cpu_ref_k2_reads_per_s": round(cpu_k2_rps, 2),
             "k2_vs_baseline": round(k2_rps / cpu_k2_rps, 1),
+            "sol_fraction": round(exact_rps / sol_exact_rps, 4),
+            "k2_sol_fraction": round(k2_rps / sol_k2_rps, 4),
+            "sol_exact_reads_per_s": round(sol_exact_rps, 1),
+            "sol_k2_reads_per_s": round(sol_k2_rps, 1),
+            "model_bytes_per_read_exact": round(ex_bytes / B, 1),
+            "model_bytes_per_read_k2": round(k2_bytes / B, 1),
+            "probe_trips_exact": trips,
+            "probe_trips_k2": trips_k2,
+            "hbm_gbps_assumed": round(bw / 1e9, 1),
+            "backend": backend,
             "kmer_d": d,
             "platform": jax.devices()[0].platform,
             "batch_reads": B,

@@ -60,8 +60,9 @@ class EngineConfig:
     kmer_d: int | None = None
     # Multi-step Occ lattice step size s: one record gather advances
     # backward search by s bases for both interval bounds (docs/
-    # DESIGN.md "multi-step Occ lattice"). 0 disables. 3 (2 B/base,
-    # 1 KB records) measures fastest on v5e; 4 (4 B/base, 2 KB records)
+    # DESIGN.md "multi-step Occ lattice"). 0 disables. 3 (512 B records,
+    # index.OCCK_WIDTH[3] = 128 words) measures fastest on v5e; 4 (2 KB
+    # records, 512 words)
     # gathers ~25% fewer rows but its wider records/VPU counts measured
     # ~18% slower end-to-end — available for future hardware.
     occ_step: int = 3

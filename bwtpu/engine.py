@@ -36,7 +36,7 @@ import numpy as np
 from bwtpu import dna
 from bwtpu.config import EngineConfig
 from bwtpu.golden import Hit, sort_hits
-from bwtpu.index import FMIndex, ShardManifest
+from bwtpu.index import FMIndex, OCCK_STEP_FROM_WIDTH, ShardManifest
 from bwtpu.io import Read
 from bwtpu.kernels.compact import compact, scatter_back
 from bwtpu.kernels.locate import locate_rows
@@ -44,8 +44,7 @@ from bwtpu.kernels.search import backward_search, interval_rows
 from bwtpu.kernels.search2 import backward_search_ra, right_align
 from bwtpu.kernels.searchk import (backward_searchk_uniform,
                                    search_early_stop_uniform)
-from bwtpu.kernels.verify2 import (NM_INVALID, build_text_rows,
-                                   dedupe_quadratic, pack_reads,
+from bwtpu.kernels.verify2 import (NM_INVALID, build_text_rows, pack_reads,
                                    verify_packed)
 from bwtpu.kernels.verify import seed_layout
 
@@ -69,8 +68,9 @@ class Shard(NamedTuple):
     stacked). A pytree — vmap/shard_map over axis 0."""
 
     lattice: jnp.ndarray  # int32[n_blocks+1, 32]
-    latk: jnp.ndarray  # int32[n_blocksK+1, W]; W encodes the step (256->3,
-    #                    512->4); (1, 1) dummy = no multi-step lattice
+    latk: jnp.ndarray  # int32[n_blocksK+1, W]; W encodes the step per
+    #                    index.OCCK_WIDTH (128->3, 512->4); (1, 1) dummy
+    #                    = no multi-step lattice
     latk_inv: jnp.ndarray  # int32[4] rows with SA[r] < step (-1 pad)
     ssa: jnp.ndarray  # int32[n_sampled(max)]
     C: jnp.ndarray  # int32[8]
@@ -465,8 +465,11 @@ def device_prep_uniform(read_words, amb_bits, L: int, k: int):
 
 def _shard_occ_step(shard: Shard) -> int:
     """Static (trace-time) multi-step size inferred from the lattice
-    record width (bwtpu/index.py OCCK_WIDTH); 0 = dummy, stay 1-step."""
-    return {256: 3, 512: 4}.get(shard.latk.shape[-1], 0)
+    record width. Single source of truth: index.OCCK_WIDTH (via its
+    reverse map), so an index-side layout change can't silently strand
+    the engine on the 1-step fallback (round-1 regression, VERDICT #1).
+    0 = dummy lattice, stay on the 1-step path."""
+    return OCCK_STEP_FROM_WIDTH.get(shard.latk.shape[-1], 0)
 
 
 def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,

@@ -85,6 +85,12 @@ NEXT_BWT0 = 21  # next block's packed BWT words
 # Row n_blocksK is a terminator (full-text folds, codes 0).
 OCCK_BLOCK = {3: 256, 4: 512}  # step -> rows per record R
 OCCK_WIDTH = {3: 128, 4: 512}  # step -> record words W (power of 2)
+# The engine recovers the (static) step from the record width at trace
+# time; widths must therefore stay distinct and this reverse map is the
+# ONE place that decoding lives (engine._shard_occ_step imports it).
+OCCK_STEP_FROM_WIDTH = {w: s for s, w in OCCK_WIDTH.items()}
+assert len(OCCK_STEP_FROM_WIDTH) == len(OCCK_WIDTH), "OCCK_WIDTH must be injective"
+assert 1 not in OCCK_STEP_FROM_WIDTH, "width 1 is reserved for the dummy lattice"
 
 FORMAT_VERSION = 6
 

@@ -6,8 +6,10 @@ gather each). An empty interval is absorbing (sp' == ep' whenever
 sp == ep), so no explicit dead mask is needed; ambiguous read bases
 (N) force the interval empty, per the pinned convention.
 
-The Pallas implementation lives in bwtpu.kernels.pallas_search and is
-selected by the engine on TPU; this twin is its bit-exact reference.
+v1 STATUS: test oracle. The live exact path is search2 (right-aligned)
+/ searchk (multi-step early-stop); the Pallas per-step fusion lives in
+bwtpu.kernels.pallas_step. This module survives as the simplest
+bit-exact reference the others are tested against.
 """
 
 from __future__ import annotations

@@ -177,7 +177,8 @@ def backward_searchk_uniform(
     )
 
 
-@partial(jax.jit, static_argnames=("L", "d", "step", "stop_width"))
+@partial(jax.jit, static_argnames=("L", "d", "step", "stop_width",
+                                   "with_stats"))
 def search_early_stop_uniform(
     lattice: jnp.ndarray,
     latk: jnp.ndarray,
@@ -191,7 +192,8 @@ def search_early_stop_uniform(
     d: int,
     step: int,
     stop_width: int,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    with_stats: bool = False,
+) -> tuple[jnp.ndarray, ...]:
     """Backward search that stops each lane once ep - sp <= stop_width.
 
     Returns (sp, ep, remaining, overflow): the interval matches the
@@ -202,6 +204,12 @@ def search_early_stop_uniform(
     compacted 1-step two-gather path with remaining == 0 (their
     intervals are exact). overflow counts lanes beyond that path's
     capacity (forced empty, never silent).
+
+    with_stats=True (a separate compilation; never the production
+    path) appends (trips, n_unfinished): the executed multi-step trip
+    count and the lane count sent to the compacted finisher — the two
+    data-dependent quantities the bench roofline model needs
+    (docs/DESIGN.md "early-stop speed of light").
     """
     assert d >= 1 and L >= d and step in (3, 4), (L, d, step)
     A = 4**step
@@ -228,7 +236,10 @@ def search_early_stop_uniform(
 
         def cond(state):
             sp, ep, rem, stopped, strag, t = state
-            n_pool = jnp.sum((~stopped).astype(jnp.int32))
+            # stragglers are excluded from `active` and can never stop,
+            # so counting them in the pool would force all T steps of
+            # useless work once only stragglers remain (ADVICE r1)
+            n_pool = jnp.sum((~stopped & ~strag).astype(jnp.int32))
             return (t < T) & (n_pool > cap)
 
         def body(state):
@@ -252,9 +263,11 @@ def search_early_stop_uniform(
             stopped = stopped | (active & ~sK & ((ep - sp) <= stop_width))
             return sp, ep, rem, stopped, strag, t + 1
 
-        sp, ep, rem, stopped, strag, _ = jax.lax.while_loop(
+        sp, ep, rem, stopped, strag, trips = jax.lax.while_loop(
             cond, body, (sp, ep, rem, stopped, strag, jnp.int32(0))
         )
+    else:
+        trips = jnp.int32(0)
 
     # finish still-wide, leftover-phase and straggler lanes with the
     # full 1-step chain (compacted); their intervals become exact, so
@@ -266,4 +279,7 @@ def search_early_stop_uniform(
         sp0, ep0, sp, ep, unfinished, d, cap=cap,
     )
     rem = jnp.where(unfinished, 0, rem)
+    if with_stats:
+        n_unf = jnp.sum(unfinished.astype(jnp.int32))
+        return sp, ep, rem, overflow, trips, n_unf
     return sp, ep, rem, overflow

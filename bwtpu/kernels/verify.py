@@ -12,6 +12,11 @@ golden DFS in tests).
 This module holds the verify stage: gather packed text windows at
 candidate positions, count mismatches (ambiguous read bases always
 mismatch), report nm.
+
+v1 STATUS: `verify_candidates` is a test oracle — the live path is the
+packed XOR/popcount verify in verify2.py, tested bit-exact against it.
+`seed_layout` here remains the live seed-partition helper (shared by
+both generations).
 """
 
 from __future__ import annotations

@@ -75,8 +75,12 @@ def run(args):
     #   - common packed/ragged path: the packed ring is a different
     #     compiled program, so it is only used if EVERY host's whole
     #     stream is one uniform read length
-    lens = [len(r.seq) for r in reads] or [0]
-    lmin, lmax = min(lens), max(lens)
+    # An empty host contributes a neutral sentinel (lmin=+inf, lmax=0)
+    # so it can't force the whole pod onto the ragged path; an all-empty
+    # pod resolves to lmin>lmax => ragged (nothing to align anyway).
+    lens = [len(r.seq) for r in reads]
+    lmin = min(lens) if lens else np.iinfo(np.int64).max
+    lmax = max(lens) if lens else 0
     if args.num_processes > 1:
         from jax.experimental import multihost_utils
 

@@ -127,6 +127,12 @@ def test_packed_pipelines_golden_parity_occk(step):
     idx = build_fm_index(genome, cfg)
     assert idx.occk_lattice is not None
     sh = _shard0(idx)
+    # The dispatch itself, not just output parity: the round-1 width-map
+    # regression silently fell back to the 1-step path and this test
+    # still passed (ADVICE r1). Assert the step is actually detected.
+    from bwtpu.engine import _shard_occ_step
+
+    assert _shard_occ_step(sh) == step
     golden = GoldenFMIndex(genome)
     reads, _ = simulate_reads(genome, 48, read_len=40, max_mismatches=2, seed=4)
     rw, ab = pack_reads_for_bench(reads)
