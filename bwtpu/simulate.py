@@ -24,6 +24,56 @@ def random_genome(n: int, seed: int = 0) -> str:
     return dna.decode(rng.integers(0, 4, size=n, dtype=np.uint8))
 
 
+def adversarial_genome(n: int, kind: str, seed: int = 0) -> str:
+    """Structured worst-case genomes (VERDICT r1 item 8; data/README.md).
+
+    kind:
+      "tandem"       long tandem arrays of a short motif — backward-
+                     search intervals over the array never narrow below
+                     the copy number (straggler/early-stop-fixup stress)
+      "homopolymer"  homopolymer runs longer than any read interleaved
+                     with random spacers — maximal interval widths and
+                     locate fan-out
+      "palindrome"   blocks followed by their reverse complements —
+                     every read hits on both strands
+    """
+    rng = np.random.default_rng(seed)
+    if kind == "tandem":
+        parts = []
+        total = 0
+        while total < n:
+            motif = dna.decode(rng.integers(0, 4, size=int(rng.integers(3, 12)),
+                                            dtype=np.uint8))
+            copies = int(rng.integers(20, 200))
+            spacer = dna.decode(rng.integers(0, 4, size=int(rng.integers(50, 300)),
+                                             dtype=np.uint8))
+            block = motif * copies + spacer
+            parts.append(block)
+            total += len(block)
+        return "".join(parts)[:n]
+    if kind == "homopolymer":
+        parts = []
+        total = 0
+        while total < n:
+            base = "ACGT"[int(rng.integers(0, 4))]
+            run = int(rng.integers(150, 400))  # > any test read length
+            spacer = dna.decode(rng.integers(0, 4, size=int(rng.integers(80, 200)),
+                                             dtype=np.uint8))
+            parts.append(base * run + spacer)
+            total += run + len(spacer)
+        return "".join(parts)[:n]
+    if kind == "palindrome":
+        parts = []
+        total = 0
+        while total < n:
+            block = dna.decode(rng.integers(0, 4, size=int(rng.integers(100, 400)),
+                                            dtype=np.uint8))
+            parts.append(block + dna.revcomp_str(block))
+            total += 2 * len(block)
+        return "".join(parts)[:n]
+    raise ValueError(f"unknown adversarial kind: {kind}")
+
+
 def simulate_reads(
     genome: str,
     n_reads: int,
