@@ -17,6 +17,12 @@ Per-host output: each host writes SAM records for ITS OWN reads
 read batches are disjoint. Deterministic batch order + the cursor file
 (cli.py) give restartability (SURVEY.md §5.3).
 
+Paired-end (config 5): --paired <mate.fq> dispatches both mates' ring
+programs per round (pipelined) and emits proper-pair SAM via the pinned
+FR pairing rule (bwtpu.sam.pair_and_emit_sam). Paired-ness and the
+packed decision (covering BOTH mates' lengths) are agreed pod-wide up
+front — they select which collective program runs.
+
 Collective-deadlock safety (SURVEY.md §5.2): every host must call
 align_batch the same number of times with the same shapes; the driver
 below pads each host's final partial batch to the common batch size and
@@ -55,8 +61,8 @@ def run(args):
 
     from bwtpu.dist import DistEngine
     from bwtpu.index import load_index
-    from bwtpu.io import read_reads
-    from bwtpu.sam import emit_sam, sam_header
+    from bwtpu.io import Read, read_reads
+    from bwtpu.sam import emit_sam, pair_and_emit_sam, sam_header
 
     initialize(args.coordinator, args.num_processes, args.process_id)
     shards, manifest = load_index(args.index)
@@ -67,6 +73,9 @@ def run(args):
     eng = DistEngine(shards, manifest, n_data=n_dev // S)
 
     reads = read_reads(args.reads)
+    reads2 = read_reads(args.paired) if args.paired else None
+    if reads2 is not None and len(reads2) != len(reads):
+        raise SystemExit("paired files differ in read count")
     bs = args.batch_size
     n_batches = -(-len(reads) // bs)
     # Cross-host agreement (SURVEY.md §5.2 — every host must execute
@@ -74,21 +83,31 @@ def run(args):
     #   - common batch count (hosts with fewer reads run filler batches)
     #   - common packed/ragged path: the packed ring is a different
     #     compiled program, so it is only used if EVERY host's whole
-    #     stream is one uniform read length
+    #     stream — BOTH mates in a paired run — is one uniform length
+    #   - common paired-ness: a paired host dispatches two ring programs
+    #     per round, so paired/single must agree pod-wide
     # An empty host contributes a neutral sentinel (lmin=+inf, lmax=0)
     # so it can't force the whole pod onto the ragged path; an all-empty
     # pod resolves to lmin>lmax => ragged (nothing to align anyway).
     lens = [len(r.seq) for r in reads]
+    if reads2 is not None:
+        lens += [len(r.seq) for r in reads2]
     lmin = min(lens) if lens else np.iinfo(np.int64).max
     lmax = max(lens) if lens else 0
+    paired = int(reads2 is not None)
     if args.num_processes > 1:
         from jax.experimental import multihost_utils
 
         agg = multihost_utils.process_allgather(
-            np.array([n_batches, lmin, lmax])
-        ).reshape(args.num_processes, 3)
+            np.array([n_batches, lmin, lmax, paired])
+        ).reshape(args.num_processes, 4)
         n_batches = int(agg[:, 0].max())
         lmin, lmax = int(agg[:, 1].min()), int(agg[:, 2].max())
+        if int(agg[:, 3].min()) != int(agg[:, 3].max()):
+            raise SystemExit(
+                "hosts disagree on paired-ness: every host must pass "
+                "--paired or none (the collective program differs)"
+            )
     packed = 0 < lmin == lmax <= eng.config.read_len
 
     out_path = (
@@ -101,28 +120,66 @@ def run(args):
     with open(out_path, "w") as out:
         if args.process_id == 0 or args.num_processes > 1:
             out.write(sam_header(manifest.contigs))
-        from bwtpu.io import Read
-
         filler = reads[0] if reads else Read(
             rid="__filler__", seq="A" * max(lmax, 1)
         )
+
+        # pipelined dispatch (VERDICT r1 weak #4): keep a few batches in
+        # flight so host-side encode/assembly overlaps the ring hops.
+        # Dispatch order is identical on every host, so pipelining can't
+        # reorder collectives.
+        inflight: list = []
+
+        def drain_one():
+            nonlocal total
+            rec = inflight.pop(0)
+            if reads2 is None:
+                chunk, handle = rec
+                hits = eng.finish_batch(handle)
+                if chunk:
+                    emit_sam(chunk, hits[: len(chunk)], manifest.contigs,
+                             out, header=False)
+                    total += len(chunk)
+            else:
+                c1, c2, h1, h2 = rec
+                hits1 = eng.finish_batch(h1)
+                hits2 = eng.finish_batch(h2)
+                if c1:
+                    pair_and_emit_sam(
+                        list(zip(c1, c2)), hits1[: len(c1)], hits2[: len(c2)],
+                        manifest.contigs, out, min_insert=args.min_insert,
+                        max_insert=args.max_insert, header=False,
+                    )
+                    total += 2 * len(c1)
+
         for bi in range(n_batches):
-            chunk = reads[bi * bs : (bi + 1) * bs]
+            lo, hi = bi * bs, (bi + 1) * bs
+            chunk = reads[lo:hi]
             # every host aligns EXACTLY bs reads per round (fillers are
             # dropped from the output) so batch shapes — and therefore
             # the compiled collective program — match across hosts
             padded = chunk + [filler] * (bs - len(chunk))
-            hits = eng.align_batch(padded, k=args.k, packed=packed)
-            if chunk:
-                emit_sam(chunk, hits[: len(chunk)], manifest.contigs, out,
-                         header=False)
-                total += len(chunk)
+            if reads2 is None:
+                inflight.append(
+                    (chunk, eng.dispatch_batch(padded, k=args.k, packed=packed))
+                )
+            else:
+                c2 = reads2[lo:hi]
+                padded2 = c2 + [filler] * (bs - len(c2))
+                h1 = eng.dispatch_batch(padded, k=args.k, packed=packed)
+                h2 = eng.dispatch_batch(padded2, k=args.k, packed=packed)
+                inflight.append((chunk, c2, h1, h2))
+            if len(inflight) > args.pipeline_depth:
+                drain_one()
+        while inflight:
+            drain_one()
     dt = time.time() - t0
     print(
         json.dumps({
             "event": "host_summary", "process": args.process_id,
             "reads": total, "reads_per_s": round(total / max(dt, 1e-9), 1),
             "wall_s": round(dt, 2), "devices": n_dev,
+            "paired": bool(reads2 is not None),
         }),
         file=sys.stderr,
     )
@@ -135,9 +192,15 @@ def main(argv=None):
     p.add_argument("--process-id", type=int, default=0)
     p.add_argument("--index", required=True)
     p.add_argument("--reads", required=True, help="this host's read stream")
+    p.add_argument("--paired", default=None,
+                   help="mate FASTQ for paired-end (config 5); every host "
+                        "must pass it or none")
     p.add_argument("--out", default="out.sam")
     p.add_argument("-k", type=int, default=0)
     p.add_argument("--batch-size", type=int, default=4096)
+    p.add_argument("--pipeline-depth", type=int, default=3)
+    p.add_argument("--min-insert", type=int, default=0)
+    p.add_argument("--max-insert", type=int, default=1000)
     run(p.parse_args(argv))
 
 

@@ -42,3 +42,45 @@ def test_multihost_single_process_end_to_end(tmp_path):
     assert open(out_path).read() == open(exp_path).read()
     # no filler reads leaked into the output
     assert "__filler__" not in open(out_path).read()
+
+
+def test_multihost_paired_end_to_end(tmp_path):
+    """Paired-end launcher (config 5): filler-padded final batch, SAM
+    equality vs golden pairing (VERDICT r1 item 6)."""
+    from bwtpu.sam import pair_and_emit_sam
+    from bwtpu.simulate import simulate_pairs
+
+    genome = random_genome(6000, seed=31)
+    cfg = EngineConfig(sa_rate=8, max_hits=8, max_cand=8, read_len=40)
+    shards, manifest = build_sharded_index(genome, 4, config=cfg, overlap=64)
+    idx_dir = str(tmp_path / "idx")
+    save_index(idx_dir, shards, manifest)
+
+    # 13 pairs, batch size 8 -> final batch padded with fillers
+    pairs, _ = simulate_pairs(genome, 13, read_len=40, insert_mean=200,
+                              insert_sd=20, max_mismatches=1, seed=32)
+    r1 = [p[0] for p in pairs]
+    r2 = [p[1] for p in pairs]
+    p1 = str(tmp_path / "r1.fq")
+    p2 = str(tmp_path / "r2.fq")
+    write_fastq(p1, r1)
+    write_fastq(p2, r2)
+    out_path = str(tmp_path / "out.sam")
+
+    multihost.main([
+        "--index", idx_dir, "--reads", p1, "--paired", p2, "--out", out_path,
+        "-k", "1", "--batch-size", "8", "--max-insert", "400",
+    ])
+
+    golden = GoldenFMIndex(genome)
+    exp_path = str(tmp_path / "exp.sam")
+    with open(exp_path, "w") as f:
+        f.write(sam_header(manifest.contigs))
+        pair_and_emit_sam(
+            pairs,
+            [golden.align_read(r.seq, k=1) for r in r1],
+            [golden.align_read(r.seq, k=1) for r in r2],
+            manifest.contigs, f, max_insert=400, header=False,
+        )
+    assert open(out_path).read() == open(exp_path).read()
+    assert "__filler__" not in open(out_path).read()
