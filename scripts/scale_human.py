@@ -1,0 +1,144 @@
+"""Human-scale sharded index build proof (BASELINE config 5 first half;
+VERDICT r1 item 5).
+
+Builds a >= 2.5 Gbp synthetic genome — total length ABOVE int32 max, so
+interval sharding is forced and global positions must be resolved in
+int64 — as a 10-shard index with parallel shard builds (jobs=2),
+proving SA-IS int64 memory discipline end-to-end:
+
+    build (native SA-IS + pack.cc) -> save -> load -> DistEngine
+    CPU-mesh ring align of a simulated read sample -> truth recovery,
+    including reads whose global positions exceed 2^31.
+
+Prints one JSON line with timings and peak RSS (self + children).
+
+Run:  XLA_FLAGS=--xla_force_host_platform_device_count=10 \\
+      JAX_PLATFORMS=cpu python scripts/scale_human.py [--bp 2500000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+N_SHARDS = 10
+
+
+def rss_gb() -> float:
+    self_kb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    child_kb = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    return round((self_kb + child_kb) / 1e6, 2)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bp", type=int, default=2_500_000_000)
+    ap.add_argument("--out", default="/tmp/human_idx")
+    ap.add_argument("--jobs", type=int, default=2)
+    ap.add_argument("--n-sample", type=int, default=64)
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the on-disk index artifact")
+    args = ap.parse_args()
+
+    os.environ.setdefault(
+        "XLA_FLAGS", f"--xla_force_host_platform_device_count={N_SHARDS}"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from bwtpu.config import EngineConfig
+    from bwtpu.dist import DistEngine
+    from bwtpu.index import build_sharded_index, load_index, save_index
+    from bwtpu.simulate import random_genome, simulate_reads
+
+    if not os.environ.get("SCALE_HUMAN_ALLOW_SMALL"):
+        assert args.bp > 2**31, "the point is the forced-sharding regime"
+    t_all = time.time()
+    t0 = time.time()
+    genome = random_genome(args.bp, seed=5)
+    gen_s = time.time() - t0
+
+    # sa_rate=32 at this scale: full SA would be 4 B/base = 10 GB HBM
+    # (vs ~23 GB total for everything else); rate-32 marks cost n/32*4
+    # = 312 MB with a <= 32-step bounded LF walk (DESIGN.md "Locate").
+    cfg = EngineConfig(sa_rate=32, max_hits=4, max_cand=8, read_len=100)
+    t0 = time.time()
+    shards, manifest = build_sharded_index(
+        genome, N_SHARDS, config=cfg, overlap=256, jobs=args.jobs
+    )
+    build_s = time.time() - t0
+    build_rss = rss_gb()
+    assert all(s.text_len < 2**31 for s in shards)
+
+    t0 = time.time()
+    save_index(args.out, shards, manifest)
+    save_s = time.time() - t0
+    disk_bytes = sum(
+        os.path.getsize(os.path.join(args.out, f))
+        for f in os.listdir(args.out)
+    )
+    del shards
+
+    t0 = time.time()
+    shards2, manifest2 = load_index(args.out)
+    load_s = time.time() - t0
+
+    # CPU-mesh ring align of a read sample; truth recovery proves the
+    # int32-local/int64-global row math at > 2^31 magnitudes.
+    t0 = time.time()
+    reads, truth = simulate_reads(genome, args.n_sample, read_len=100,
+                                  max_mismatches=2, seed=6)
+    del genome
+    eng = DistEngine(shards2, manifest2, n_data=1)
+    hits = eng.align_all(reads, k=2, batch_size=args.n_sample)
+    align_s = time.time() - t0
+    recovered = sum(
+        any(h.pos == t["pos"] and h.strand == t["strand"] and h.nm == t["nm"]
+            for h in hs)
+        for t, hs in zip(truth, hits)
+    )
+    int32_bar = 2**31 if args.bp > 2**31 else args.bp // 2
+    beyond_int32 = sum(1 for t in truth if t["pos"] > int32_bar)
+    rec_beyond = sum(
+        any(h.pos == t["pos"] and h.strand == t["strand"] for h in hs)
+        for t, hs in zip(truth, hits) if t["pos"] > int32_bar
+    )
+
+    print(json.dumps({
+        "config": "human-scale sharded build proof",
+        "genome_bp": args.bp,
+        "n_shards": N_SHARDS,
+        "jobs": args.jobs,
+        "genome_gen_s": round(gen_s, 1),
+        "index_build_s": round(build_s, 1),
+        "peak_rss_gb_after_build": build_rss,
+        "save_s": round(save_s, 1),
+        "artifact_gb": round(disk_bytes / 1e9, 2),
+        "load_s": round(load_s, 1),
+        "align_sample_s": round(align_s, 1),
+        "sample_reads": args.n_sample,
+        "truth_recovered": recovered,
+        "truth_beyond_int32": beyond_int32,
+        "recovered_beyond_int32": rec_beyond,
+        "peak_rss_gb_final": rss_gb(),
+    }), flush=True)
+    assert recovered == args.n_sample, (recovered, args.n_sample)
+    assert beyond_int32 > 0 and rec_beyond == beyond_int32
+
+    if not args.keep:
+        import shutil
+
+        shutil.rmtree(args.out)
+    print(f"total {time.time() - t_all:.0f}s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,44 @@ def test_sw_matches_reference_random():
         assert int(g) == sw_score_reference(t, r), (t, r)
 
 
+def test_rescore_candidates_vectorized_vs_oracle():
+    """rescore_candidates (vectorized over hits, per-shard window
+    decode) must agree with a per-hit oracle computation, across shard
+    boundaries, both strands, and variable read lengths."""
+    from bwtpu.config import EngineConfig
+    from bwtpu.engine import Engine
+    from bwtpu.index import build_sharded_index
+    from bwtpu.io import Read
+    from bwtpu.simulate import random_genome, simulate_reads
+    from bwtpu.sw import rescore_candidates
+
+    genome = random_genome(6000, seed=61)
+    cfg = EngineConfig(sa_rate=8, max_hits=8, max_cand=8, read_len=40)
+    shards, manifest = build_sharded_index(genome, 3, config=cfg, overlap=64)
+    eng = Engine(shards, manifest)
+    reads, _ = simulate_reads(genome, 24, read_len=40, max_mismatches=2,
+                              seed=62)
+    # add a shorter read so lane padding paths run
+    reads.append(Read(rid="short", seq=genome[100:130], qual="I" * 30))
+    hits = eng.align_batch(reads, k=2)
+    scores = rescore_candidates(eng, reads, hits, band=4, flank=6)
+    n_checked = 0
+    for ri, (r, hlist) in enumerate(zip(reads, hits)):
+        for hi, h in enumerate(hlist):
+            for sh in shards:
+                off = sh.shard_offset
+                if off <= h.pos < off + sh.text_len:
+                    lo = max(0, h.pos - off - 6)
+                    hi_ = min(sh.text_len, h.pos - off + len(r.seq) + 6)
+                    window = genome[off + lo : off + hi_]
+                    seq = r.seq if h.strand == "+" else dna.revcomp_str(r.seq)
+                    exp = sw_score_reference(window, seq, band=4)
+                    assert scores[(ri, hi)] == exp, (ri, hi, h)
+                    n_checked += 1
+                    break
+    assert n_checked >= 24 and any(h.strand == "-" for hs in hits for h in hs)
+
+
 def test_sw_exact_and_indel():
     t = "ACGTACGTACGTACGTACGT"
     # perfect match scores 2 * len
