@@ -25,14 +25,18 @@ batches are dispatched back-to-back and blocked on once at the end.
   transfers — which is also how a production stream runs.
 
 Roofline (VERDICT r1 item 7): the early-stop engine's speed of light is
-restated in BYTES GATHERED PER READ by stage (kmer start, multi-step
-probe trips, compacted 1-step finisher, locate, packed verify) with the
-two data-dependent quantities (probe trips, finisher lane count)
+restated in GATHERED ROWS PER READ by stage (kmer start, multi-step
+probe trips, compacted 1-step finisher, locate, packed verify), with
+the two data-dependent quantities (probe trips, finisher lane count)
 measured on-device via search_early_stop_uniform(with_stats=True).
-The model counts data-dependent gather traffic only — elementwise
-intermediates that XLA streams through HBM are excluded — so it is a
-true lower bound and `sol_fraction` = model_time / measured_time an
-honest upper bound on achieved efficiency.
+Rows, not bytes: the measured v5e constraint is the data-dependent
+gather RATE — ~25-37 ns per row roughly independent of row width
+(docs/DESIGN.md gather table) — which binds long before HBM byte
+bandwidth for these narrow rows. sol_fraction = model_time /
+measured_time with model_time = rows * NS_PER_ROW; the model excludes
+scatters, cumsums and elementwise traffic, so it is a true lower bound.
+The bytes-based HBM number is also emitted for context (it shows these
+pipelines are nowhere near byte-bandwidth-bound).
 """
 
 from __future__ import annotations
@@ -51,6 +55,35 @@ HBM_GBPS = {  # device_kind substring -> HBM bandwidth (bytes/s)
     "v4": 1228e9,
 }
 
+def calibrate_ns_per_row(table, n_rows=1 << 22, reps=3) -> float:
+    """Measure this device's data-dependent gather rate (ns/row) on the
+    actual lattice table. The rate — not HBM bytes — is the binding
+    resource for the FM-index pipelines (docs/DESIGN.md gather table:
+    25-37 ns/row on v5e, improving with batch), so the roofline
+    calibrates it per run instead of trusting a constant. The consumer
+    sums ALL columns so XLA cannot narrow the gather (DESIGN pitfall),
+    and each dispatch uses a distinct index stream so nothing along the
+    relay path caches."""
+    import jax
+    import jax.numpy as jnp
+
+    N = np.int64(table.shape[0])
+
+    @jax.jit
+    def probe(seed):
+        idx = (
+            jnp.arange(n_rows, dtype=jnp.uint32) * (jnp.uint32(2654435761)
+                                                    + jnp.uint32(2) * seed)
+        ) % jnp.uint32(N)
+        return jnp.take(table, idx.astype(jnp.int32), axis=0).sum(axis=0)
+
+    np.asarray(probe(jnp.uint32(0)))  # compile + warm
+    t0 = time.time()
+    outs = [probe(jnp.uint32(s + 1)) for s in range(reps)]
+    for o in outs:
+        np.asarray(o)
+    return (time.time() - t0) / (reps * n_rows) * 1e9
+
 
 def hbm_bandwidth(dev) -> float:
     kind = getattr(dev, "device_kind", "").lower()
@@ -60,16 +93,17 @@ def hbm_bandwidth(dev) -> float:
     return 819e9  # conservative default (v5e)
 
 
-def gather_model_bytes(B2, L, d, step, trips, n_unf, max_loc, nS,
-                       loc_factor, sa_rate):
-    """Data-dependent gather bytes for one packed compact-path batch.
+def gather_model(B2, L, d, step, trips, n_unf, max_loc, nS,
+                 loc_factor, sa_rate):
+    """Data-dependent gather (rows, bytes) for one packed compact-path
+    batch.
 
     Stages (bwtpu/engine.py exact/inexact_pipeline_packed):
-      kmer start        B2*nS lanes x 8 B table row
-      multi-step probes trips x B2*nS lanes x OCCK record (step 3: 512 B)
-      finisher          cap_fix lanes x (slen-d) steps x 2 x 128 B
-      locate            cap_loc rows x (4 B direct SA | sa_rate walk)
-      verify            cap_loc rows x (text window row + fused read row)
+      kmer start        B2*nS lanes x 1 row (8 B)
+      multi-step probes trips x B2*nS lanes x 1 OCCK record (step 3: 512 B)
+      finisher          cap_fix lanes x (slen-d) steps x 2 rows (128 B)
+      locate            cap_loc x 1 row (4 B direct SA | sa_rate x 128 B walk)
+      verify            cap_loc x 2 rows (text window + fused read row)
     Compacted arrays have STATIC shapes, so traffic is the capacity,
     not the live count; n_unf only gates whether the finisher runs.
     """
@@ -83,16 +117,23 @@ def gather_model_bytes(B2, L, d, step, trips, n_unf, max_loc, nS,
     cap_loc = max(B2 * loc_factor, 4096)
     W = (L + 15) // 16
 
-    total = lanes * 8                      # kmer table rows
-    total += trips * lanes * rec_k         # multi-step probe gathers
-    if n_unf > 0:                          # compacted 1-step finisher
-        total += nS * cap_fix * max(slen - d, 0) * 2 * 128
-    if sa_rate == 1:                       # locate
-        total += cap_loc * 4
+    rows = lanes                            # kmer table rows
+    bytes_ = lanes * 8
+    rows += trips * lanes                   # multi-step probe gathers
+    bytes_ += trips * lanes * rec_k
+    if n_unf > 0:                           # compacted 1-step finisher
+        fix_rows = nS * cap_fix * max(slen - d, 0) * 2
+        rows += fix_rows
+        bytes_ += fix_rows * 128
+    if sa_rate == 1:                        # locate
+        rows += cap_loc
+        bytes_ += cap_loc * 4
     else:
-        total += cap_loc * sa_rate * 128
-    total += cap_loc * (window_row_width(L) * 4 + (3 * W + 1) * 4)  # verify
-    return total
+        rows += cap_loc * sa_rate
+        bytes_ += cap_loc * sa_rate * 128
+    rows += cap_loc * 2                     # verify: text row + fused row
+    bytes_ += cap_loc * (window_row_width(L) * 4 + (3 * W + 1) * 4)
+    return rows, bytes_
 
 
 def main():
@@ -193,6 +234,8 @@ def main():
 
     # --- roofline: measure the data-dependent quantities, then model ---
     bw = hbm_bandwidth(jax.devices()[0])
+    ns_per_row = calibrate_ns_per_row(
+        shard0.latk, n_rows=(1 << 22) if not args.smoke else (1 << 16))
     codes2, amb2, *_ = device_prep_uniform(*encs[0], L, 0)
     B2 = int(codes2.shape[0])
     *_, trips, n_unf = search_early_stop_uniform(
@@ -200,9 +243,9 @@ def main():
         shard0.dollar_row, shard0.kmer_tables[d], codes2, amb2, L, d,
         step, cfg.max_hits, with_stats=True)
     trips, n_unf = int(trips), int(n_unf)
-    ex_bytes = gather_model_bytes(
+    ex_rows, ex_bytes = gather_model(
         B2, L, d, step, trips, n_unf, cfg.max_hits, 1, 1, cfg.sa_rate)
-    sol_exact_rps = bw / (ex_bytes / B)
+    sol_exact_rps = 1.0 / (ex_rows / B * ns_per_row * 1e-9)
     trips_k2 = n_unf_k2 = 0
     for off, slen in seed_layout(L, 3):
         *_, t_s, u_s = search_early_stop_uniform(
@@ -212,10 +255,10 @@ def main():
             slen, d_seed, step, cfg.max_cand, with_stats=True)
         trips_k2 += int(t_s)
         n_unf_k2 += int(u_s)
-    k2_bytes = gather_model_bytes(
+    k2_rows, k2_bytes = gather_model(
         B2, L, d_seed, step, trips_k2, n_unf_k2, cfg.max_cand, 3,
         cfg.loc_factor, cfg.sa_rate)
-    sol_k2_rps = bw / (k2_bytes / B)
+    sol_k2_rps = 1.0 / (k2_rows / B * ns_per_row * 1e-9)
 
     # --- CPU reference (golden, interpreted walks) on a sample ---
     t0 = time.time()
@@ -246,10 +289,14 @@ def main():
             "k2_sol_fraction": round(k2_rps / sol_k2_rps, 4),
             "sol_exact_reads_per_s": round(sol_exact_rps, 1),
             "sol_k2_reads_per_s": round(sol_k2_rps, 1),
+            "model_rows_per_read_exact": round(ex_rows / B, 2),
+            "model_rows_per_read_k2": round(k2_rows / B, 2),
             "model_bytes_per_read_exact": round(ex_bytes / B, 1),
             "model_bytes_per_read_k2": round(k2_bytes / B, 1),
+            "hbm_frac_of_byte_bw": round(ex_bytes / B * exact_rps / bw, 5),
             "probe_trips_exact": trips,
             "probe_trips_k2": trips_k2,
+            "ns_per_row_measured": round(ns_per_row, 2),
             "hbm_gbps_assumed": round(bw / 1e9, 1),
             "backend": backend,
             "kmer_d": d,

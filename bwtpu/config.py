@@ -52,8 +52,10 @@ class EngineConfig:
     mesh_shape: tuple[int, int] = (1, 1)
     # Compaction capacity factor: locate/verify stages run on at most
     # loc_factor * batch_rows compacted lanes (overflow is counted and
-    # logged, never silent). Raise for degenerate many-hit workloads.
-    loc_factor: int = 2
+    # logged, never silent). Raise for degenerate many-hit workloads;
+    # may be fractional (compacted stages pay their CAP in gather rows
+    # — DESIGN.md rows/read roofline).
+    loc_factor: float = 2
     # k-mer start table depth d: one lookup replaces the first d chained
     # backward-search steps (docs/DESIGN.md). 0 = disabled; None = auto
     # (chosen from genome size at index build: ~log4(n), capped at 12).

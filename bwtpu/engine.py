@@ -295,7 +295,7 @@ def _exact_finish(shard, sp, ep, fix_over, *, max_hits, sa_rate, loc_factor,
                   backend):
     """Interval expand -> compacted locate, shared by the search variants."""
     rows, valid, overflow = interval_rows(sp, ep, max_hits)
-    cap = max(sp.shape[0] * loc_factor, 4096)
+    cap = max(int(sp.shape[0] * loc_factor), 4096)
     pos, loc_over = _locate_compacted(
         shard, rows, valid, sa_rate=sa_rate, cap=cap, backend=backend
     )
@@ -371,8 +371,11 @@ def _inexact_from_intervals(
     overflow = overflow_s.reshape(B2, nS).sum(axis=1)
 
     # floor: small batches stopped early can carry several candidates
-    # per lane; a few thousand compacted lanes cost almost nothing
-    cap = max(B2 * loc_factor, 4096)
+    # per lane; a few thousand compacted lanes cost almost nothing.
+    # loc_factor may be fractional: the compacted stages pay their CAP
+    # in gather rows (DESIGN.md), and exact candidates average well
+    # under 1/lane, so cap < B2 buys measurable rows/read.
+    cap = max(int(B2 * loc_factor), 4096)
     sel, count, comp_over = compact(rvalid.reshape(-1), cap)
     sel_valid = jnp.arange(cap, dtype=jnp.int32) < count
     rows_c = jnp.take(rows.reshape(-1), sel)

@@ -24,6 +24,10 @@ def test_bench_smoke_cpu():
     assert out["vs_baseline"] > 0
     ex = out["extras"]
     assert ex["k2_reads_per_s"] > 0
-    assert 0 < ex["sol_fraction"] < 1
-    assert 0 < ex["k2_sol_fraction"] < 1
+    # the rows-per-read roofline is a TPU metric (CPU gather cost is
+    # width-dependent, so the calibrated rate doesn't model the CPU
+    # pipeline); the smoke only checks it computes and is positive
+    assert ex["sol_fraction"] > 0
+    assert ex["k2_sol_fraction"] > 0
+    assert ex["ns_per_row_measured"] > 0
     assert ex["platform"] == "cpu"
