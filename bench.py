@@ -156,13 +156,13 @@ def main():
         jax.config.update("jax_platforms", "cpu")
 
     from bwtpu.config import EngineConfig
-    from bwtpu.engine import (default_backend, device_prep_uniform,
+    from bwtpu.engine import (default_backend, device_prep_packed,
                               exact_pipeline_packed, inexact_pipeline_packed,
                               pack_reads_for_bench, pick_kmer_depth,
                               upload_index)
     from bwtpu.golden import GoldenFMIndex
     from bwtpu.index import build_fm_index
-    from bwtpu.kernels.searchk import search_early_stop_uniform
+    from bwtpu.kernels.searchk import search_early_stop_packed
     from bwtpu.kernels.verify import seed_layout
     from bwtpu.simulate import ECOLI_SCALE, random_genome, simulate_reads
 
@@ -236,11 +236,11 @@ def main():
     bw = hbm_bandwidth(jax.devices()[0])
     ns_per_row = calibrate_ns_per_row(
         shard0.latk, n_rows=(1 << 22) if not args.smoke else (1 << 16))
-    codes2, amb2, *_ = device_prep_uniform(*encs[0], L, 0)
-    B2 = int(codes2.shape[0])
-    *_, trips, n_unf = search_early_stop_uniform(
+    rw2, ab2, *_ = device_prep_packed(*encs[0], L)
+    B2 = int(rw2.shape[0])
+    *_, trips, n_unf = search_early_stop_packed(
         shard0.lattice, shard0.latk, shard0.latk_inv, shard0.C,
-        shard0.dollar_row, shard0.kmer_tables[d], codes2, amb2, L, d,
+        shard0.dollar_row, shard0.kmer_tables[d], rw2, ab2, 0, L, d,
         step, cfg.max_hits, with_stats=True)
     trips, n_unf = int(trips), int(n_unf)
     ex_rows, ex_bytes = gather_model(
@@ -248,11 +248,11 @@ def main():
     sol_exact_rps = 1.0 / (ex_rows / B * ns_per_row * 1e-9)
     trips_k2 = n_unf_k2 = 0
     for off, slen in seed_layout(L, 3):
-        *_, t_s, u_s = search_early_stop_uniform(
+        *_, t_s, u_s = search_early_stop_packed(
             shard0.lattice, shard0.latk, shard0.latk_inv, shard0.C,
             shard0.dollar_row, shard0.kmer_tables[d_seed],
-            codes2[:, off:off + slen], amb2[:, off:off + slen],
-            slen, d_seed, step, cfg.max_cand, with_stats=True)
+            rw2, ab2, off, slen, d_seed, step, cfg.max_cand,
+            with_stats=True)
         trips_k2 += int(t_s)
         n_unf_k2 += int(u_s)
     k2_rows, k2_bytes = gather_model(

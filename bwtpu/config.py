@@ -56,6 +56,14 @@ class EngineConfig:
     # may be fractional (compacted stages pay their CAP in gather rows
     # — DESIGN.md rows/read roofline).
     loc_factor: float = 2
+    # Candidate thinning: a lane with a non-empty interval must take at
+    # least min_trips multi-steps before the width-based early stop may
+    # fire. Each extra step divides the false-candidate rate by 4^step
+    # while true hits always survive, so the locate/verify compaction
+    # cap (loc_factor) can shrink several-fold for ~B cheap probe
+    # gathers per trip (docs/DESIGN.md "candidate thinning"). 0 = stop
+    # as soon as the width fits.
+    min_trips: int = 0
     # k-mer start table depth d: one lookup replaces the first d chained
     # backward-search steps (docs/DESIGN.md). 0 = disabled; None = auto
     # (chosen from genome size at index build: ~log4(n), capped at 12).

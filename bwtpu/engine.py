@@ -42,7 +42,9 @@ from bwtpu.kernels.compact import compact, scatter_back
 from bwtpu.kernels.locate import locate_rows
 from bwtpu.kernels.search import backward_search, interval_rows
 from bwtpu.kernels.search2 import backward_search_ra, right_align
+from bwtpu.kernels.prep import revcomp_packed
 from bwtpu.kernels.searchk import (backward_searchk_uniform,
+                                   search_early_stop_packed,
                                    search_early_stop_uniform)
 from bwtpu.kernels.verify2 import (NM_INVALID, build_text_rows, pack_reads,
                                    verify_packed)
@@ -473,6 +475,26 @@ def device_prep_uniform(read_words, amb_bits, L: int, k: int):
     return codes2, amb2, lens2, rw2, ab2, lm2, seeds
 
 
+def device_prep_packed(read_words, amb_bits, L: int):
+    """Packed-only batch prep: both-strand packed words, no code planes.
+
+    Replaces device_prep_uniform on the flagship path: deriving
+    int32[B2, L] code planes measured ~32 ms of a 78 ms exact batch on
+    the v5e (scripts/stage_times.py); the packed search
+    (kernels/searchk.search_early_stop_packed) reads the 2-bit words
+    directly, so prep reduces to a SWAR reverse complement
+    (kernels/prep.py) plus constants.
+    """
+    B, W = read_words.shape
+    rc_w, rc_a = revcomp_packed(read_words, amb_bits, L)
+    rw2 = jnp.concatenate([read_words, rc_w])
+    ab2 = jnp.concatenate([amb_bits, rc_a])
+    lens2 = jnp.full(2 * B, L, jnp.int32)
+    lm = _pack_words(jnp.ones((1, L), jnp.int32), W)
+    lm2 = jnp.broadcast_to(lm, (2 * B, W)).astype(jnp.int32)
+    return rw2, ab2, lens2, lm2
+
+
 def _shard_occ_step(shard: Shard) -> int:
     """Static (trace-time) multi-step size inferred from the lattice
     record width. Single source of truth: index.OCCK_WIDTH (via its
@@ -483,7 +505,7 @@ def _shard_occ_step(shard: Shard) -> int:
 
 
 def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
-                          sa_rate, loc_factor=2, backend="jnp",
+                          sa_rate, loc_factor=2, min_trips=0, backend="jnp",
                           compact_output=False):
     step = _shard_occ_step(shard)
     assert not (compact_output and not (step and d >= 1))
@@ -493,14 +515,15 @@ def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
         # candidate start = locate(row) - remaining). FM intervals only
         # narrow, so verifying the <= max_hits candidates of a partial
         # suffix match is complete (true hits are a subset) and the
-        # verify filters the superset exactly.
-        codes2, amb2, lens2, rw2, ab2, lm2, _ = device_prep_uniform(
-            read_words, amb_bits, L, 0
-        )
-        sp, ep, rem, fix_over = search_early_stop_uniform(
+        # verify filters the superset exactly. The search reads the
+        # 2-bit packed rows directly (kernels/prep.py) — no (B2, L)
+        # code planes (measured ~32 ms/batch of layout churn, DESIGN.md
+        # "packed prep").
+        rw2, ab2, lens2, lm2 = device_prep_packed(read_words, amb_bits, L)
+        sp, ep, rem, fix_over = search_early_stop_packed(
             shard.lattice, shard.latk, shard.latk_inv, shard.C,
-            shard.dollar_row, shard.kmer_tables[d], codes2, amb2, L, d,
-            step, max_hits,
+            shard.dollar_row, shard.kmer_tables[d], rw2, ab2, 0, L, d,
+            step, max_hits, min_trips,
         )
         out = _inexact_from_intervals(
             shard, sp, ep, rem, rw2, ab2, lm2, lens2,
@@ -520,31 +543,28 @@ def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
 
 
 def inexact_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, max_loc,
-                            sa_rate, loc_factor=4, backend="jnp",
+                            sa_rate, loc_factor=4, min_trips=0, backend="jnp",
                             compact_output=False):
     step = _shard_occ_step(shard)
     assert not (compact_output and not (step and d >= 1))
     if step and d >= 1:
         # multi-step early-stop path: each seed slot has one uniform
-        # (static) length, so the seed searches run per slot on
-        # full-width slices of the derived codes — no right-aligned
-        # seed arrays at all. A seed stops once its interval fits the
-        # per-seed candidate budget; the full-length verify filters the
-        # partial-suffix superset (candidate start = locate(row) -
-        # (seed offset + remaining)).
-        codes2, amb2, lens2, rw2, ab2, lm2, _ = device_prep_uniform(
-            read_words, amb_bits, L, 0
-        )
-        B2 = codes2.shape[0]
+        # (static) length, so the seed searches run per slot as static
+        # (off, slen) subfields of the packed rows — no right-aligned
+        # seed arrays, no code planes at all (kernels/prep.py). A seed
+        # stops once its interval fits the per-seed candidate budget;
+        # the full-length verify filters the partial-suffix superset
+        # (candidate start = locate(row) - (seed offset + remaining)).
+        rw2, ab2, lens2, lm2 = device_prep_packed(read_words, amb_bits, L)
+        B2 = rw2.shape[0]
         nS = k + 1
         sps, eps, offs = [], [], []
         fix_over = jnp.int32(0)
         for off, slen in seed_layout(L, nS):
-            sp_s, ep_s, rem_s, over = search_early_stop_uniform(
+            sp_s, ep_s, rem_s, over = search_early_stop_packed(
                 shard.lattice, shard.latk, shard.latk_inv, shard.C,
                 shard.dollar_row, shard.kmer_tables[d],
-                codes2[:, off : off + slen],
-                amb2[:, off : off + slen], slen, d, step, max_loc,
+                rw2, ab2, off, slen, d, step, max_loc, min_trips,
             )
             sps.append(sp_s)
             eps.append(ep_s)
@@ -722,7 +742,8 @@ class Engine:
                     return exact_pipeline_packed(
                         shard, rw, ab, L=L, d=d, max_hits=cfg.max_hits,
                         sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor,
-                        backend=backend, compact_output=compact,
+                        min_trips=cfg.min_trips, backend=backend,
+                        compact_output=compact,
                     )
             else:
 
@@ -730,7 +751,8 @@ class Engine:
                     return inexact_pipeline_packed(
                         shard, rw, ab, L=L, k=k, d=d, max_loc=cfg.max_cand,
                         sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor,
-                        backend=backend, compact_output=compact,
+                        min_trips=cfg.min_trips, backend=backend,
+                        compact_output=compact,
                     )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]

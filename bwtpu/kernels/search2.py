@@ -160,6 +160,47 @@ def _fixup_stragglers(lattice, C, dollar_row, kmer_table, ra_codes, ra_amb,
     return sp, ep, overflow
 
 
+def _fixup_stragglers_packed(lattice, C, dollar_row, words, amb_bits,
+                             off, slen, sp0, ep0, sp, ep, strag, d,
+                             cap=None):
+    """_fixup_stragglers for 2-bit packed inputs: gather the flagged
+    lanes' packed rows, unpack ONLY those (cap lanes, not the batch —
+    kernels/prep.py rationale), then run the two-gather chain on the
+    slice [off, off+slen)."""
+    from bwtpu.kernels.compact import compact
+    from bwtpu.kernels.prep import unpack_slice
+
+    B = words.shape[0]
+    cap = cap if cap is not None else max(256, B // 8)
+    sel, count, overflow = compact(strag, cap)
+    n_strag = jnp.sum(strag.astype(jnp.int32))
+
+    def fixup(args):
+        sp, ep = args
+        mini_w = jnp.take(words, sel, axis=0)
+        mini_a = jnp.take(amb_bits, sel, axis=0)
+        mini_ra = unpack_slice(mini_w, off, slen)
+        mini_amb = unpack_slice(mini_a, off, slen)  # fields are 0/1
+        in_sel = jnp.arange(cap, dtype=jnp.int32) < count
+        mini_lens = jnp.where(in_sel, slen, 0)
+        msp0 = jnp.take(sp0, sel)
+        mep0 = jnp.where(in_sel, jnp.take(ep0, sel), 0)
+        msp, mep = _two_gather_search(
+            lattice, C, dollar_row, mini_ra, mini_amb, mini_lens,
+            msp0, mep0, d
+        )
+        slot = jnp.where(in_sel, sel, B)  # drop beyond count
+        sp = sp.at[slot].set(msp, mode="drop")
+        ep = ep.at[slot].set(mep, mode="drop")
+        return sp, ep
+
+    sp, ep = jax.lax.cond(n_strag > 0, fixup, lambda a: a, (sp, ep))
+    over_lane = strag & (jnp.cumsum(strag.astype(jnp.int32)) > cap)
+    sp = jnp.where(over_lane, 0, sp)
+    ep = jnp.where(over_lane, 0, ep)
+    return sp, ep, overflow
+
+
 def right_align(codes: np.ndarray, amb: np.ndarray, lens: np.ndarray):
     """Host-side: shift each row right so it ends at column L-1 (NumPy)."""
     B, L = codes.shape

@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bwtpu.kernels import common
-from bwtpu.kernels.search2 import _fixup_stragglers
+from bwtpu.kernels.search2 import _fixup_stragglers, _fixup_stragglers_packed
 
 OCCK_BLOCK = {3: 256, 4: 512}  # must match bwtpu/index.py
 
@@ -276,6 +276,120 @@ def search_early_stop_uniform(
     lens = jnp.full(B, L, jnp.int32)
     sp, ep, overflow = _fixup_stragglers(
         lattice, C, dollar_row, kmer_table, codes, amb, lens,
+        sp0, ep0, sp, ep, unfinished, d, cap=cap,
+    )
+    rem = jnp.where(unfinished, 0, rem)
+    if with_stats:
+        n_unf = jnp.sum(unfinished.astype(jnp.int32))
+        return sp, ep, rem, overflow, trips, n_unf
+    return sp, ep, rem, overflow
+
+
+@partial(jax.jit, static_argnames=("off", "L", "d", "step", "stop_width",
+                                   "min_trips", "with_stats"))
+def search_early_stop_packed(
+    lattice: jnp.ndarray,
+    latk: jnp.ndarray,
+    latk_inv: jnp.ndarray,
+    C: jnp.ndarray,
+    dollar_row: jnp.ndarray,
+    kmer_table: jnp.ndarray,
+    words: jnp.ndarray,  # int32[B, W] 2-bit packed reads (both strands)
+    amb_bits: jnp.ndarray,  # int32[B, W] packed ambiguity
+    off: int,  # pattern = bases [off, off+L) of each packed row
+    L: int,
+    d: int,
+    step: int,
+    stop_width: int,
+    min_trips: int = 0,
+    with_stats: bool = False,
+) -> tuple[jnp.ndarray, ...]:
+    """search_early_stop_uniform on 2-bit PACKED rows (the production
+    prep path): the k-mer start key, the per-trip s-mer codes and the
+    compacted finisher's codes are extracted straight from the packed
+    words (kernels/prep.py SWAR ops), so no (B, L) code plane is ever
+    materialized — measured ~32 ms/batch of pure layout churn on the
+    v5e (docs/DESIGN.md "packed prep"). Bit-identical to the uniform
+    variant on unpacked codes (tests/test_kernels_jnp.py).
+
+    `off`/`L` select a static subfield of each row, which is how the
+    pigeonhole seed searches run without right-aligned seed arrays.
+    Same return contract as search_early_stop_uniform.
+
+    min_trips > 0 delays the width-based stop until a lane has taken
+    that many multi-steps (empty lanes still stop immediately): each
+    extra step divides the FALSE-candidate rate by 4^step while true
+    hits always survive (intervals only narrow and a true hit matches
+    every suffix), so a longer verified suffix trades ~B cheap probe
+    gathers per trip for a several-fold smaller locate/verify
+    compaction cap (docs/DESIGN.md "candidate thinning"). Stopping
+    later is always sound — the verify decides the superset either
+    way.
+    """
+    from bwtpu.kernels import prep
+
+    assert d >= 1 and L >= d and step in (3, 4), (L, d, step)
+    A = 4**step
+    R = OCCK_BLOCK[step]
+    B = words.shape[0]
+
+    key, amb_tail = prep.kmer_key_packed(words, amb_bits, off, L, d)
+    start = jnp.take(kmer_table, key, axis=0)
+    sp0 = jnp.where(amb_tail, 0, start[:, 0])
+    ep0 = jnp.where(amb_tail, 0, start[:, 1])
+
+    chain = L - d
+    p = chain % step
+    T = chain // step
+    rem = jnp.full(B, chain, jnp.int32)
+    strag = jnp.zeros(B, dtype=bool)
+    width0 = ep0 - sp0
+    may_stop0 = (width0 <= 0) if min_trips > 0 else (width0 <= stop_width)
+    stopped = may_stop0
+    sp, ep = sp0, ep0
+
+    cap = max(256, B // 64)  # compacted-finisher capacity
+    if T > 0:
+        t_all, a_all = prep.smer_codes_packed(words, amb_bits, off + p,
+                                              T, step)
+
+        def cond(state):
+            sp, ep, rem, stopped, strag, t = state
+            n_pool = jnp.sum((~stopped & ~strag).astype(jnp.int32))
+            return (t < T) & ((n_pool > cap) | (t < min_trips))
+
+        def body(state):
+            sp, ep, rem, stopped, strag, t = state
+            g = T - 1 - t
+            tS = jax.lax.dynamic_slice_in_dim(t_all, g, 1, axis=1)[:, 0]
+            aS = jax.lax.dynamic_slice_in_dim(a_all, g, 1, axis=1)[:, 0]
+            active = ~stopped & ~strag
+            rec = jnp.take(latk, sp // R, axis=0)
+            sp_n, ep_n, sK = occk_pair_from_record(
+                rec, tS, sp, ep, latk_inv, A, R
+            )
+            sp_n = jnp.where(aS, 0, sp_n)
+            ep_n = jnp.where(aS, 0, ep_n)
+            sp = jnp.where(active, sp_n, sp)
+            ep = jnp.where(active, ep_n, ep)
+            rem = jnp.where(active, rem - step, rem)
+            strag = strag | (active & sK)
+            width = ep - sp
+            may_stop = (width <= stop_width) & (
+                (t + 1 >= min_trips) | (width <= 0)
+            )
+            stopped = stopped | (active & ~sK & may_stop)
+            return sp, ep, rem, stopped, strag, t + 1
+
+        sp, ep, rem, stopped, strag, trips = jax.lax.while_loop(
+            cond, body, (sp, ep, rem, stopped, strag, jnp.int32(0))
+        )
+    else:
+        trips = jnp.int32(0)
+
+    unfinished = (~stopped & (rem > 0)) | strag
+    sp, ep, overflow = _fixup_stragglers_packed(
+        lattice, C, dollar_row, words, amb_bits, off, L,
         sp0, ep0, sp, ep, unfinished, d, cap=cap,
     )
     rem = jnp.where(unfinished, 0, rem)

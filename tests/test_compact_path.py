@@ -130,3 +130,30 @@ def test_bench_jit_shape_compact():
         inexact_pipeline_packed, L=L, k=2, d=ds, max_loc=cfg.max_cand,
         sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor, compact_output=True))
     fi(sh, rw, ab)  # must trace + run (round-1 crash shape)
+
+
+@pytest.mark.parametrize("min_trips", [1, 2, 9])
+def test_engine_compact_golden_parity_min_trips(min_trips):
+    """Candidate thinning (min_trips > 0) must not change the hit set:
+    stopping later is always sound (intervals only narrow; the verify
+    decides the superset either way). min_trips=9 exceeds the whole
+    seed chain for k=2 — the gate must degrade to full-chain search."""
+    cfg = EngineConfig(
+        sa_rate=8, max_hits=8, max_cand=8, read_len=40,
+        min_trips=min_trips,
+    )
+    genome = random_genome(30000, seed=23)
+    idx = build_fm_index(genome, cfg)
+    eng = Engine([idx])
+    golden = GoldenFMIndex(genome)
+    reads, _ = simulate_reads(genome, 48, read_len=40, max_mismatches=2,
+                              seed=24)
+    for k in (0, 2):
+        handle = eng.dispatch_batch(reads, k=k)
+        assert handle[-1] == "compact"
+        out = eng.finish_batch(handle)
+        for r, hits in zip(reads, out):
+            exp = {(h.pos, h.strand, h.nm)
+                   for h in golden.align_read(r.seq, k=k)}
+            got = {(h.pos, h.strand, h.nm) for h in hits}
+            assert got == exp, (r.rid, k, sorted(got), sorted(exp))

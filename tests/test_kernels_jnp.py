@@ -157,3 +157,100 @@ def test_reverse_complement_reads():
     # revcomp(ACGT) = ACGT; mask moves from index 1 to index 2
     np.testing.assert_array_equal(np.asarray(rc)[0], [0, 1, 2, 3, 0, 0])
     np.testing.assert_array_equal(np.asarray(ra)[0], [0, 0, 1, 0, 0, 0])
+
+
+def test_packed_prep_matches_unpacked():
+    """kernels/prep.py SWAR extractions == the code-plane derivations
+    they replace (revcomp, k-mer key, s-mer codes, unpack_slice)."""
+    from bwtpu.engine import device_prep_packed, device_prep_uniform
+    from bwtpu.kernels import prep
+    from bwtpu.kernels.searchk import _smer_codes
+    from bwtpu.kernels.verify2 import pack_reads
+
+    rng = np.random.default_rng(7)
+    B, L = 48, 100
+    codes = rng.integers(0, 4, (B, L)).astype(np.int32)
+    amb = (rng.random((B, L)) < 0.05).astype(np.int32)
+    rw, ab, _ = pack_reads(codes, amb, np.full(B, L, np.int32))
+    rw, ab = jnp.asarray(rw), jnp.asarray(ab)
+
+    # full both-strand prep equality against device_prep_uniform
+    _, _, lens_u, rw2_u, ab2_u, lm2_u, _ = device_prep_uniform(rw, ab, L, 0)
+    rw2_p, ab2_p, lens_p, lm2_p = device_prep_packed(rw, ab, L)
+    np.testing.assert_array_equal(np.asarray(rw2_p), np.asarray(rw2_u))
+    np.testing.assert_array_equal(np.asarray(ab2_p), np.asarray(ab2_u))
+    np.testing.assert_array_equal(np.asarray(lm2_p), np.asarray(lm2_u))
+    np.testing.assert_array_equal(np.asarray(lens_p), np.asarray(lens_u))
+
+    # k-mer key at offset 0 and at a seed offset
+    cj, aj = jnp.asarray(codes), jnp.asarray(amb)
+    for off, slen, d in ((0, L, 11), (34, 33, 9)):
+        w = (4 ** np.arange(d - 1, -1, -1)).astype(np.int64)
+        key_ref = (codes[:, off + slen - d : off + slen] * w[None, :]).sum(1)
+        key, amb_tail = prep.kmer_key_packed(rw, ab, off, slen, d)
+        np.testing.assert_array_equal(np.asarray(key), key_ref)
+        np.testing.assert_array_equal(
+            np.asarray(amb_tail),
+            amb[:, off + slen - d : off + slen].sum(1) > 0,
+        )
+        for step in (3, 4):
+            chain = slen - d
+            p, T = chain % step, chain // step
+            if T == 0:
+                continue
+            t_ref, a_ref = _smer_codes(
+                cj[:, off + p :], aj[:, off + p :], B, T, step
+            )
+            t_got, a_got = prep.smer_codes_packed(rw, ab, off + p, T, step)
+            np.testing.assert_array_equal(np.asarray(t_got), np.asarray(t_ref))
+            np.testing.assert_array_equal(np.asarray(a_got), np.asarray(a_ref))
+
+    np.testing.assert_array_equal(
+        np.asarray(prep.unpack_slice(rw, 17, 41)), codes[:, 17:58]
+    )
+
+
+def test_search_early_stop_packed_matches_uniform(setup):
+    """search_early_stop_packed == search_early_stop_uniform bit-exactly
+    (sp, ep, rem, overflow), whole reads and seed subfields."""
+    from bwtpu.config import EngineConfig
+    from bwtpu.engine import device_prep_packed, device_prep_uniform
+    from bwtpu.index import build_fm_index
+    from bwtpu.kernels.searchk import (search_early_stop_packed,
+                                       search_early_stop_uniform)
+    from bwtpu.kernels.verify2 import pack_reads
+    from bwtpu.simulate import random_genome, simulate_reads
+
+    L, d = 64, 6
+    cfg = EngineConfig(sa_rate=1, max_hits=4, read_len=L, kmer_d=d)
+    genome = random_genome(30_000, seed=3)
+    idx = build_fm_index(genome, cfg)
+    from bwtpu.engine import upload_index
+    import jax
+
+    dev = upload_index([idx])
+    sh = jax.tree.map(lambda x: x[0], dev.shard)
+    reads, _ = simulate_reads(genome, 96, read_len=L, max_mismatches=2,
+                              seed=4)
+    codes = np.stack([np.frombuffer(bytes(r.seq, "ascii"), np.uint8)
+                      for r in reads])
+    from bwtpu import dna
+    c2, m2 = dna.encode_with_mask("".join(r.seq for r in reads))
+    codes = c2.reshape(96, L).astype(np.int32)
+    amb = m2.reshape(96, L).astype(np.int32)
+    rw, ab, _ = pack_reads(codes, amb, np.full(96, L, np.int32))
+    rw, ab = jnp.asarray(rw), jnp.asarray(ab)
+
+    codes2, amb2, *_ = device_prep_uniform(rw, ab, L, 0)
+    rw2, ab2, *_ = device_prep_packed(rw, ab, L)
+    step = cfg.occ_step
+    for off, slen in ((0, L), (21, 22)):
+        ref = search_early_stop_uniform(
+            sh.lattice, sh.latk, sh.latk_inv, sh.C, sh.dollar_row,
+            sh.kmer_tables[d], codes2[:, off : off + slen],
+            amb2[:, off : off + slen], slen, d, step, cfg.max_hits)
+        got = search_early_stop_packed(
+            sh.lattice, sh.latk, sh.latk_inv, sh.C, sh.dollar_row,
+            sh.kmer_tables[d], rw2, ab2, off, slen, d, step, cfg.max_hits)
+        for g, r in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
