@@ -38,7 +38,7 @@ from bwtpu.config import EngineConfig
 from bwtpu.golden import Hit, sort_hits
 from bwtpu.index import FMIndex, OCCK_STEP_FROM_WIDTH, ShardManifest
 from bwtpu.io import Read
-from bwtpu.kernels.compact import compact, scatter_back
+from bwtpu.kernels.compact import compact, compact_counts, scatter_back
 from bwtpu.kernels.locate import locate_rows
 from bwtpu.kernels.search import backward_search, interval_rows
 from bwtpu.kernels.search2 import backward_search_ra, right_align
@@ -277,12 +277,19 @@ def encode_batch(
 # ---------------------------------------------------------------------------
 
 
-def _locate_compacted(shard: Shard, rows, valid, *, sa_rate, cap, backend):
-    """Compact valid rows, locate them, scatter positions back (-1 fill)."""
+def _locate_compacted(shard: Shard, rows, valid, *, sa_rate, cap, backend,
+                      counts=None):
+    """Compact valid rows, locate them, scatter positions back (-1 fill).
+
+    When `valid` is the prefix mask of per-lane counts (interval_rows
+    output), pass `counts` so the cheaper structured compaction runs
+    (compact_counts — bit-identical sel, skips the full-lane scatter)."""
     shape = rows.shape
     flat_rows = rows.reshape(-1)
-    flat_valid = valid.reshape(-1)
-    sel, count, loc_over = compact(flat_valid, cap)
+    if counts is not None:
+        sel, count, loc_over = compact_counts(counts, shape[-1], cap)
+    else:
+        sel, count, loc_over = compact(valid.reshape(-1), cap)
     sel_rows = jnp.take(flat_rows, sel)
     sel_valid = jnp.arange(cap, dtype=jnp.int32) < count
     pos_c = locate_rows(
@@ -299,7 +306,8 @@ def _exact_finish(shard, sp, ep, fix_over, *, max_hits, sa_rate, loc_factor,
     rows, valid, overflow = interval_rows(sp, ep, max_hits)
     cap = max(int(sp.shape[0] * loc_factor), 4096)
     pos, loc_over = _locate_compacted(
-        shard, rows, valid, sa_rate=sa_rate, cap=cap, backend=backend
+        shard, rows, valid, sa_rate=sa_rate, cap=cap, backend=backend,
+        counts=ep - sp,
     )
     valid = valid & (pos >= 0)
     return pos, valid, overflow, loc_over + fix_over
@@ -378,7 +386,7 @@ def _inexact_from_intervals(
     # in gather rows (DESIGN.md), and exact candidates average well
     # under 1/lane, so cap < B2 buys measurable rows/read.
     cap = max(int(B2 * loc_factor), 4096)
-    sel, count, comp_over = compact(rvalid.reshape(-1), cap)
+    sel, count, comp_over = compact_counts(ep - sp, max_loc, cap)
     sel_valid = jnp.arange(cap, dtype=jnp.int32) < count
     rows_c = jnp.take(rows.reshape(-1), sel)
     spos_c = locate_rows(

@@ -10,6 +10,7 @@ of the padded worst case. Overflow is counted, never silent
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -32,6 +33,34 @@ def compact(valid: jnp.ndarray, capacity: int):
     sel = jnp.zeros(capacity + 1, dtype=jnp.int32).at[slot].set(
         lane_ids, mode="drop"
     )[:capacity]
+    return sel, count.astype(jnp.int32), overflow.astype(jnp.int32)
+
+
+def compact_counts(counts: jnp.ndarray, H: int, capacity: int):
+    """Structured compaction: lane l owns slots [l*H, l*H + counts[l]).
+
+    Equivalent to ``compact(valid.reshape(-1), capacity)`` when ``valid``
+    is the prefix mask ``k < counts[l]`` over int32[Nlanes, H] (the shape
+    interval_rows emits) — but skips the 2M-lane cumsum+scatter: the
+    cumsum runs over Nlanes counts, the scatter writes only Nlanes lane
+    ids (measured 29% faster at bench scale, docs/DESIGN.md "Next
+    optimization lead"). Returns (sel, count, overflow) bit-identical to
+    the generic path.
+    """
+    c = jnp.clip(counts.astype(jnp.int32), 0, H)
+    cum = jnp.cumsum(c) - c  # exclusive prefix: first output slot per lane
+    total = cum[-1] + c[-1]
+    count = jnp.minimum(total, capacity)
+    overflow = jnp.maximum(total - capacity, 0)
+    lane_ids = jnp.arange(c.shape[0], dtype=jnp.int32)
+    start = jnp.where(c > 0, cum, capacity)  # empty lanes never own a slot
+    owner = jnp.zeros(capacity, dtype=jnp.int32).at[start].max(
+        lane_ids, mode="drop"
+    )
+    owner = jax.lax.cummax(owner)
+    i = jnp.arange(capacity, dtype=jnp.int32)
+    sel = owner * H + (i - jnp.take(cum, owner))
+    sel = jnp.where(i < count, sel, 0)
     return sel, count.astype(jnp.int32), overflow.astype(jnp.int32)
 
 

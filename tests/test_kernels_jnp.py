@@ -254,3 +254,27 @@ def test_search_early_stop_packed_matches_uniform(setup):
             sh.kmer_tables[d], rw2, ab2, off, slen, d, step, cfg.max_hits)
         for g, r in zip(got, ref):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_compact_counts_matches_generic():
+    """compact_counts must be bit-identical to compact() on the prefix
+    masks interval_rows produces (sel, count AND overflow), across empty
+    lanes, straddling-capacity lanes, all-empty input and overflow."""
+    from bwtpu.kernels.compact import compact, compact_counts
+
+    rng = np.random.default_rng(7)
+    for H, nlanes, cap in [(4, 64, 32), (8, 128, 1024), (3, 200, 100),
+                           (16, 33, 64), (5, 50, 4)]:
+        for trial in range(4):
+            counts = rng.integers(-2, H + 3, size=nlanes).astype(np.int32)
+            if trial == 2:
+                counts[:] = 0  # all-empty
+            if trial == 3:
+                counts[: nlanes // 2] = 0  # long empty prefix
+            valid = (np.arange(H)[None, :]
+                     < np.clip(counts, 0, H)[:, None]).reshape(-1)
+            sel_g, cnt_g, ov_g = compact(jnp.asarray(valid), cap)
+            sel_s, cnt_s, ov_s = compact_counts(jnp.asarray(counts), H, cap)
+            np.testing.assert_array_equal(np.asarray(sel_s), np.asarray(sel_g))
+            assert int(cnt_s) == int(cnt_g)
+            assert int(ov_s) == int(ov_g)
