@@ -137,6 +137,9 @@ def gather_model(B2, L, d, step, trips, n_unf, max_loc, nS,
 
 
 def main():
+    from bwtpu.hosttune import tune_malloc
+
+    tune_malloc()  # page-fault wall: docs/DESIGN.md, bwtpu/hosttune.py
     ap = argparse.ArgumentParser()
     ap.add_argument("--smoke", action="store_true",
                     help="50 kbp genome, 1 K reads — trace/shape check")

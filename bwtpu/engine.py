@@ -35,7 +35,7 @@ import numpy as np
 
 from bwtpu import dna
 from bwtpu.config import EngineConfig
-from bwtpu.golden import Hit, sort_hits
+from bwtpu.golden import Hit
 from bwtpu.index import FMIndex, OCCK_STEP_FROM_WIDTH, ShardManifest
 from bwtpu.io import Read
 from bwtpu.kernels.compact import compact, compact_counts, scatter_back
@@ -813,6 +813,116 @@ class Engine:
         handle = self.dispatch_batch(reads, k)
         return self.finish_batch(handle)
 
+    # ---- columnar fast path (production FASTQ->SAM, VERDICT r2 #1) ----
+
+    def dispatch_block(self, block, k: int | None = None,
+                       pad_to: int | None = None):
+        """Dispatch a uniform-length columnar ReadBlock (bwtpu.readblock)
+        on the packed pipelines. pad_to keeps batch shapes static across
+        a stream (one compiled program); pad rows are all-ambiguous so
+        they die in the first search step, and finish_block drops them.
+        """
+        k = self.config.k if k is None else k
+        L = block.L
+        if not (0 < L <= self.config.read_len):
+            raise ValueError(
+                f"block read length {L} not in (0, {self.config.read_len}]"
+            )
+        from bwtpu.readblock import pack_block
+
+        rw, ab = pack_block(block)
+        Bp = pad_to or block.n
+        if Bp > block.n:
+            W = rw.shape[1]
+            rw = np.concatenate([rw, np.zeros((Bp - block.n, W), np.int32)])
+            amb_all = np.full((Bp - block.n, W), 0x55555555, np.int32)
+            ab = np.concatenate([ab, amb_all])
+        d = pick_kmer_depth(self.kmer_depths, L if k == 0 else L // (k + 1))
+        compact = bool(_shard_occ_step(self.dev.shard) and d >= 1)
+        kind = "exact" if k == 0 else "inexact"
+        fn = self._packed_fn(kind, k, d, L, compact)
+        shard_outs = []
+        for s in range(self.dev.n_shards):
+            sh_s = jax.tree.map(lambda x: x[s], self.dev.shard)
+            shard_outs.append(fn(sh_s, rw, ab))
+        mode = "compact" if compact else "dense"
+        return ("block", block, Bp, k, shard_outs, time.perf_counter(), mode)
+
+    def finish_block(self, handle):
+        """Materialize a dispatch_block handle -> results.FlatHits.
+
+        Compact mode fetches the live count per shard first, then only
+        the live prefix of each compacted array — device-to-host bytes
+        scale with actual hits, not the static capacity."""
+        from bwtpu.results import flatten_hits
+
+        tag, block, Bp, k, shard_outs, t_disp, mode = handle
+        assert tag == "block"
+        Ct = (k + 1) * self.config.max_cand if k else self.config.max_hits
+        if mode == "compact":
+            shard_comp = []
+            n_over = 0
+            compact_over = 0
+            for o in shard_outs:
+                cand_c, nm_c, sel, count, overflow, co = o
+                cnt = int(np.asarray(count))
+                # one grouped transfer (each np.asarray is a separate
+                # relay round trip; the relay adds ~17 ms per sync)
+                cand_np, nm_np, sel_np, ov, co_ = jax.device_get(
+                    (cand_c[:cnt], nm_c[:cnt], sel[:cnt],
+                     (overflow > 0).sum(), co)
+                )
+                shard_comp.append((cand_np, nm_np, sel_np, cnt))
+                n_over += int(ov)
+                compact_over += int(co_)
+            self.stats.device_s += time.perf_counter() - t_disp
+            t1 = time.perf_counter()
+            s_idx, row_idx, p, m = compact_to_columns(shard_comp, k, Ct)
+        else:
+            if k == 0:
+                pos = np.stack([np.asarray(o[0]) for o in shard_outs])
+                valid = np.stack([np.asarray(o[1]) for o in shard_outs])
+                overflow = np.stack([np.asarray(o[2]) for o in shard_outs])
+                nm = None
+                compact_over = sum(int(np.asarray(o[3])) for o in shard_outs)
+            else:
+                pos = np.stack([np.asarray(o[0]) for o in shard_outs])
+                nm = np.stack([np.asarray(o[1]) for o in shard_outs])
+                valid = np.stack([np.asarray(o[2]) for o in shard_outs])
+                overflow = np.stack([np.asarray(o[3]) for o in shard_outs])
+                compact_over = sum(
+                    int(np.asarray(o[4])) + int(np.asarray(o[5]))
+                    for o in shard_outs
+                )
+            self.stats.device_s += time.perf_counter() - t_disp
+            t1 = time.perf_counter()
+            n_over = int(((overflow.sum(axis=0)) > 0).sum())
+            s_idx, row_idx, p, m = dense_to_columns(pos, nm, valid)
+        if compact_over:
+            log.warning(
+                "align block: compaction capacity overflowed by %d rows; "
+                "results may be incomplete — raise loc_factor/max_cand",
+                compact_over,
+            )
+        if n_over:
+            log.warning(
+                "align block: %d read-strand rows overflowed interval "
+                "capacity (max_hits=%d, max_cand=%d)",
+                n_over, self.config.max_hits, self.config.max_cand,
+            )
+        flat = flatten_hits(
+            block.n, block.L, Bp, s_idx, row_idx, p, m,
+            [sh.text_len for sh in self.shards],
+            [sh.shard_offset for sh in self.shards],
+        )
+        t2 = time.perf_counter()
+        self.stats.reads += block.n
+        self.stats.hits += len(flat.read_idx)
+        self.stats.overflow_reads += n_over
+        self.stats.compact_overflows += compact_over
+        self.stats.host_s += t2 - t1
+        return flat
+
     def _assemble(self, reads, B, pos, nm, valid, overflow, compact_over, t1):
         if compact_over:
             log.warning(
@@ -867,46 +977,30 @@ class Engine:
 
 def _assemble_flat(reads, B, s_idx, row_idx, p, m, text_lens, offsets):
     """Flat (shard, read-strand row, local pos, nm) vectors -> per-read
-    deduped sorted Hit lists (strand from row index, global position
-    resolved with int64 offsets)."""
-    n_reads = len(reads)
+    deduped sorted Hit lists. Vectorized via bwtpu.results (the per-hit
+    Python dict loop here measured 1.30 s / 262 K-read batch — VERDICT
+    r2 missing #1)."""
+    from bwtpu.results import flatten_hits, hit_lists
+
     read_lens = np.array([len(r.seq) for r in reads], dtype=np.int64)
-    p = p.astype(np.int64)
-    b = row_idx % B
-    keep = b < n_reads
-    s_idx, row_idx, p, m, b = s_idx[keep], row_idx[keep], p[keep], m[keep], b[keep]
-    tl = np.array(text_lens, dtype=np.int64)[s_idx]
-    keep = (p >= 0) & (p + read_lens[b] <= tl)
-    s_idx, row_idx, p, m, b = s_idx[keep], row_idx[keep], p[keep], m[keep], b[keep]
-    gpos = np.array(offsets, dtype=np.int64)[s_idx] + p
-    strand_rev = row_idx >= B
-
-    out: list[list[Hit]] = [[] for _ in range(n_reads)]
-    best: dict[tuple[int, int, bool], int] = {}
-    for bb, gp, sr, mm in zip(b, gpos, strand_rev, m):
-        key = (int(bb), int(gp), bool(sr))
-        mm = int(mm)
-        if key not in best or mm < best[key]:
-            best[key] = mm
-    for (bb, gp, sr), mm in best.items():
-        out[bb].append(Hit(nm=mm, strand="-" if sr else "+", pos=gp))
-    return [sort_hits(h) for h in out]
+    flat = flatten_hits(
+        len(reads), read_lens, B, s_idx, row_idx, p, m, text_lens, offsets
+    )
+    return hit_lists(flat)
 
 
-def assemble_hits(reads, B, pos, nm, valid, text_lens, offsets):
-    """(S, 2B, H) dense device outputs -> per-read Hit lists."""
+def dense_to_columns(pos, nm, valid):
+    """(S, 2B, H) dense device outputs -> flat (s_idx, row_idx, p, m)."""
     s_idx, row_idx, h_idx = np.nonzero(valid)
     p = pos[s_idx, row_idx, h_idx]
     m = nm[s_idx, row_idx, h_idx] if nm is not None else np.zeros(len(p), int)
-    return _assemble_flat(reads, B, s_idx, row_idx, p, m, text_lens, offsets)
+    return s_idx, row_idx, p, m
 
 
-def assemble_hits_compact(reads, B, shard_comp, k, Ct, text_lens, offsets):
-    """Compacted device outputs -> per-read Hit lists.
-
-    shard_comp: per shard (cand_c, nm_c, sel, count) where sel indexes
-    the flat (2B * Ct) candidate slots (read-strand row = sel // Ct).
-    """
+def compact_to_columns(shard_comp, k, Ct):
+    """Per-shard compacted outputs (cand_c, nm_c, sel, count) -> flat
+    (s_idx, row_idx, p, m) columns; sel indexes the flat (2B * Ct)
+    candidate slots (read-strand row = sel // Ct)."""
     s_l, row_l, p_l, m_l = [], [], [], []
     for s, (cand_c, nm_c, sel, count) in enumerate(shard_comp):
         cnt = int(count)
@@ -917,9 +1011,19 @@ def assemble_hits_compact(reads, B, shard_comp, k, Ct, text_lens, offsets):
         row_l.append(sel // Ct)
         p_l.append(cand_c)
         m_l.append(nm_c)
-    return _assemble_flat(
-        reads, B,
+    return (
         np.concatenate(s_l), np.concatenate(row_l),
         np.concatenate(p_l), np.concatenate(m_l),
-        text_lens, offsets,
     )
+
+
+def assemble_hits(reads, B, pos, nm, valid, text_lens, offsets):
+    """(S, 2B, H) dense device outputs -> per-read Hit lists."""
+    s_idx, row_idx, p, m = dense_to_columns(pos, nm, valid)
+    return _assemble_flat(reads, B, s_idx, row_idx, p, m, text_lens, offsets)
+
+
+def assemble_hits_compact(reads, B, shard_comp, k, Ct, text_lens, offsets):
+    """Compacted device outputs -> per-read Hit lists."""
+    s_idx, row_idx, p, m = compact_to_columns(shard_comp, k, Ct)
+    return _assemble_flat(reads, B, s_idx, row_idx, p, m, text_lens, offsets)

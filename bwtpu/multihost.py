@@ -59,6 +59,10 @@ def run(args):
     import jax
     import numpy as np
 
+    from bwtpu.hosttune import tune_malloc
+
+    tune_malloc()  # page-fault wall: docs/DESIGN.md, bwtpu/hosttune.py
+
     from bwtpu.dist import DistEngine
     from bwtpu.index import load_index
     from bwtpu.io import Read, read_reads

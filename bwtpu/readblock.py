@@ -1,0 +1,245 @@
+"""Columnar read I/O — the production FASTQ path (layer L0, C2).
+
+The object-per-read parser (bwtpu.io.read_fastq) measures ~0.38 M
+reads/s (round 3, this host): Read construction alone caps the
+end-to-end rate far below the device rate. This module keeps the whole
+file in flat NumPy columns instead — byte blob + offset arrays for ids,
+a dense (n, L) uint8 ASCII matrix for uniform-length sequences/quals —
+so parsing is a handful of vectorized passes and downstream encoding
+(2-bit packing) reads straight from the matrix.
+
+Scope: the uniform-length 4-line FASTQ fast path (the shape of every
+BASELINE config read set). Anything else (ragged lengths, FASTA reads,
+multi-line records) returns None from the sniffing loader and callers
+fall back to bwtpu.io.read_reads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+
+import numpy as np
+
+from bwtpu import dna
+from bwtpu.io import Read
+
+
+@dataclasses.dataclass
+class ReadBlock:
+    """Columnar batch of n uniform-length reads."""
+
+    n: int
+    L: int
+    id_blob: np.ndarray  # uint8[sum id lens]
+    id_off: np.ndarray  # int64[n + 1]
+    seq: np.ndarray  # uint8[n, L] ASCII, uppercased
+    qual: np.ndarray | None  # uint8[n, L]
+    # 2-bit packed payload (int32[n, W]); filled by the native parser,
+    # else computed on demand by pack_block
+    words: np.ndarray | None = None
+    amb: np.ndarray | None = None
+
+    def slice(self, lo: int, hi: int) -> "ReadBlock":
+        hi = min(hi, self.n)
+        return ReadBlock(
+            n=hi - lo,
+            L=self.L,
+            id_blob=self.id_blob[self.id_off[lo] : self.id_off[hi]],
+            id_off=(self.id_off[lo : hi + 1] - self.id_off[lo]),
+            seq=self.seq[lo:hi],
+            qual=self.qual[lo:hi] if self.qual is not None else None,
+            words=self.words[lo:hi] if self.words is not None else None,
+            amb=self.amb[lo:hi] if self.amb is not None else None,
+        )
+
+    def ids(self) -> list[str]:
+        blob = self.id_blob.tobytes()
+        off = self.id_off
+        return [
+            blob[off[i] : off[i + 1]].decode("ascii") for i in range(self.n)
+        ]
+
+    def to_reads(self) -> list[Read]:
+        """Materialize Read objects (tests / fallback interop)."""
+        ids = self.ids()
+        seqs = self.seq
+        quals = self.qual
+        return [
+            Read(
+                rid=ids[i],
+                seq=seqs[i].tobytes().decode("ascii"),
+                qual=quals[i].tobytes().decode("ascii") if quals is not None else None,
+            )
+            for i in range(self.n)
+        ]
+
+    @classmethod
+    def from_reads(cls, reads: list[Read]) -> "ReadBlock | None":
+        """Columnarize a uniform-length Read list (None if ragged)."""
+        if not reads:
+            return None
+        L = len(reads[0].seq)
+        if any(len(r.seq) != L for r in reads):
+            return None
+        has_q = all(r.qual is not None and len(r.qual) == L for r in reads)
+        seq = np.frombuffer(
+            "".join(r.seq for r in reads).encode("ascii"), dtype=np.uint8
+        ).reshape(len(reads), L)
+        qual = (
+            np.frombuffer(
+                "".join(r.qual for r in reads).encode("ascii"), dtype=np.uint8
+            ).reshape(len(reads), L)
+            if has_q
+            else None
+        )
+        ids = [r.rid.encode("ascii") for r in reads]
+        off = np.zeros(len(reads) + 1, dtype=np.int64)
+        off[1:] = np.cumsum([len(i) for i in ids])
+        # seq kept verbatim: file parsers uppercase (read_fastq rule),
+        # but direct Read objects must round-trip byte-for-byte
+        return cls(
+            n=len(reads), L=L,
+            id_blob=np.frombuffer(b"".join(ids), dtype=np.uint8),
+            id_off=off, seq=seq, qual=qual,
+        )
+
+
+def _upper(a: np.ndarray) -> np.ndarray:
+    return np.where((a >= 97) & (a <= 122), a - 32, a)
+
+
+def _native_parse(data: np.ndarray) -> ReadBlock | None:
+    """csrc/fastq.cc single-pass parse + 2-bit pack (None -> fall back)."""
+    import ctypes
+
+    from bwtpu import sais
+
+    lib = sais._load_native()
+    if lib is None or not hasattr(lib, "bwtpu_fastq_scan"):
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    n = ctypes.c_int64(0)
+    L = ctypes.c_int32(0)
+    idb = ctypes.c_int64(0)
+    rc = lib.bwtpu_fastq_scan(
+        data.ctypes.data_as(u8), ctypes.c_int64(data.size),
+        ctypes.byref(n), ctypes.byref(L), ctypes.byref(idb),
+    )
+    if rc != 0:
+        return None
+    n, L, idb = n.value, L.value, idb.value
+    W = (L + 15) // 16
+    seq = np.empty((n, L), dtype=np.uint8)
+    qual = np.empty((n, L), dtype=np.uint8)
+    id_blob = np.empty(max(idb, 1), dtype=np.uint8)
+    id_off = np.empty(n + 1, dtype=np.int64)
+    words = np.empty((n, W), dtype=np.int32)
+    amb = np.empty((n, W), dtype=np.int32)
+    rc = lib.bwtpu_fastq_parse(
+        data.ctypes.data_as(u8), ctypes.c_int64(data.size),
+        ctypes.c_int64(n), ctypes.c_int32(L),
+        seq.ctypes.data_as(u8), qual.ctypes.data_as(u8),
+        id_blob.ctypes.data_as(u8), id_off.ctypes.data_as(i64),
+        words.ctypes.data_as(i32), amb.ctypes.data_as(i32),
+    )
+    if rc != 0:
+        return None
+    return ReadBlock(
+        n=n, L=L, id_blob=id_blob[:idb], id_off=id_off, seq=seq, qual=qual,
+        words=words, amb=amb,
+    )
+
+
+def read_fastq_block(path: str) -> ReadBlock | None:
+    """Parse a strict 4-line-record, uniform-length FASTQ into a
+    ReadBlock (native single-pass parser when available, vectorized
+    NumPy otherwise). Returns None when the file does not fit the
+    fast-path shape (caller falls back to io.read_fastq, whose output
+    is byte-equivalent)."""
+    if str(path).endswith(".gz"):
+        with open(path, "rb") as f:
+            raw = gzip.decompress(f.read())
+        data = np.frombuffer(raw, dtype=np.uint8)
+    else:
+        data = np.fromfile(path, dtype=np.uint8)
+    if data.size == 0:
+        return None
+    blk = _native_parse(data)
+    if blk is not None:
+        return blk
+    if data[-1] != 10:  # ensure trailing newline so lines == nl count
+        data = np.concatenate([data, np.array([10], dtype=np.uint8)])
+    nl = np.flatnonzero(data == 10)
+    n_lines = len(nl)
+    if n_lines % 4 != 0:
+        return None
+    starts = np.empty(n_lines, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = nl[:-1] + 1
+    ends = nl.astype(np.int64)
+    # strip \r for CRLF files
+    if data.size > 1 and np.any(data[ends - 1] == 13):
+        ends = ends - (data[np.maximum(ends - 1, 0)] == 13)
+
+    h_start, h_end = starts[0::4], ends[0::4]
+    s_start, s_end = starts[1::4], ends[1::4]
+    p_start = starts[2::4]
+    q_start, q_end = starts[3::4], ends[3::4]
+    n = len(h_start)
+    if not (
+        np.all(data[h_start] == ord("@")) and np.all(data[p_start] == ord("+"))
+    ):
+        return None
+    slen = s_end - s_start
+    L = int(slen[0]) if n else 0
+    if L == 0 or not np.all(slen == L) or not np.all(q_end - q_start == L):
+        return None
+
+    seq = _upper(data[s_start[:, None] + np.arange(L)])
+    qual = data[q_start[:, None] + np.arange(L)]
+
+    # ids: header minus '@', cut at first whitespace (io.read_fastq rule)
+    hs = h_start + 1
+    hlen = h_end - hs
+    maxh = int(hlen.max(initial=0))
+    hm = data[np.minimum(hs[:, None] + np.arange(maxh), data.size - 1)]
+    col_ok = np.arange(maxh)[None, :] < hlen[:, None]
+    white = ((hm == 32) | (hm == 9)) & col_ok
+    idlen = np.where(white.any(axis=1), white.argmax(axis=1), hlen)
+    total = int(idlen.sum())
+    off = np.zeros(n + 1, dtype=np.int64)
+    off[1:] = np.cumsum(idlen)
+    pos_in_id = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], idlen)
+    id_blob = data[np.repeat(hs, idlen) + pos_in_id]
+    return ReadBlock(n=n, L=L, id_blob=id_blob, id_off=off, seq=seq, qual=qual)
+
+
+def encode_block(block: ReadBlock) -> tuple[np.ndarray, np.ndarray]:
+    """ASCII seq matrix -> (codes int32[n, L], ambiguous int32[n, L])."""
+    codes = dna._ENC[block.seq].astype(np.int32)
+    amb = (~dna._IS_ACGT[block.seq]).astype(np.int32)
+    return codes, amb
+
+
+def pack_block(block: ReadBlock) -> tuple[np.ndarray, np.ndarray]:
+    """ASCII seq matrix -> 2-bit packed (read_words, amb_bits), each
+    int32[n, W] — the device batch payload (engine packed path)."""
+    if block.words is not None and block.amb is not None:
+        return block.words, block.amb
+    codes, amb = encode_block(block)
+    n, L = codes.shape
+    W = (L + 15) // 16
+    if L % 16:
+        pad = np.zeros((n, W * 16 - L), dtype=np.int32)
+        codes = np.concatenate([codes, pad], axis=1)
+        amb = np.concatenate([amb, pad], axis=1)
+    shifts = (2 * (np.arange(16) % 16)).astype(np.uint32)
+    words = (codes.astype(np.uint32).reshape(n, W, 16) << shifts).reshape(n, W, 16)
+    words = np.bitwise_or.reduce(words, axis=2)
+    ab = (amb.astype(np.uint32).reshape(n, W, 16) << shifts).reshape(n, W, 16)
+    ab = np.bitwise_or.reduce(ab, axis=2)
+    return words.view(np.int32), ab.view(np.int32)

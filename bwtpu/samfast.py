@@ -1,0 +1,211 @@
+"""Batch SAM emission over flat arrays (production path, C14).
+
+Pairs bwtpu.results (vectorized primary selection) with the C++ batch
+formatter (csrc/samfmt.cc) so the FASTQ->SAM path never touches
+per-read Python objects. The Python fallback below is field-for-field
+the same formatter (used when no toolchain is available and as the
+equality oracle in tests); both are byte-equal to bwtpu.sam.emit_sam,
+asserted in tests/test_fastpath.py.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+
+import numpy as np
+
+from bwtpu import sais
+from bwtpu.readblock import ReadBlock
+from bwtpu.results import ContigTable, Primary
+from bwtpu.sam import FLAG_REVERSE, FLAG_UNMAPPED
+
+log = logging.getLogger(__name__)
+
+_fmt_ready = False
+
+
+def _native_fmt():
+    """The shared library with bwtpu_sam_format configured, or None."""
+    global _fmt_ready
+    lib = sais._load_native()
+    if lib is None:
+        return None
+    if not _fmt_ready:
+        try:
+            fn = lib.bwtpu_sam_format
+        except AttributeError:
+            # stale .so predating samfmt.cc — rebuild once
+            import os
+            import subprocess
+
+            try:
+                os.remove(sais._SO)
+                subprocess.run(
+                    ["make", "-C", sais._CSRC], check=True,
+                    capture_output=True, timeout=120,
+                )
+                lib = ctypes.CDLL(sais._SO)
+                with sais._lock:
+                    sais._lib = lib
+                fn = lib.bwtpu_sam_format
+            except Exception as e:
+                log.warning("samfmt native rebuild failed (%s); Python fallback", e)
+                return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [
+            u8p, i64p, u8p, u8p, ctypes.c_int32, ctypes.c_int64,
+            u8p, i32p, i32p, i64p, i32p, i32p, i64p, i64p, i32p, u8p,
+            u8p, i64p, u8p, ctypes.c_int64,
+        ]
+        _fmt_ready = True
+    return lib
+
+
+def format_records(
+    block: ReadBlock,
+    mapped: np.ndarray,
+    flag: np.ndarray,
+    rname_id: np.ndarray,
+    pos1: np.ndarray,
+    mapq: np.ndarray,
+    rnext_id: np.ndarray,  # -1 '*', -2 '=', else contig id
+    pnext1: np.ndarray,
+    tlen: np.ndarray,
+    nm: np.ndarray,
+    revcomp: np.ndarray,
+    ctable: ContigTable,
+    force_python: bool = False,
+) -> bytes:
+    """Low-level columnar record formatter (SAM field layout pinned by
+    bwtpu/sam.py::_record)."""
+    n, L = block.n, block.L
+    lib = None if force_python else _native_fmt()
+    if lib is not None:
+        rn_blob = np.frombuffer(ctable.name_blob, dtype=np.uint8)
+        if rn_blob.size == 0:
+            rn_blob = np.zeros(1, dtype=np.uint8)
+        max_rn = int(np.max(np.diff(ctable.name_off), initial=1))
+        cap = int(block.id_blob.size) + n * (2 * L + max_rn + 128)
+        out = np.empty(cap, dtype=np.uint8)
+        c = lambda a, t: np.ascontiguousarray(a, dtype=t)
+        u8 = lambda a: c(a, np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        i32 = lambda a: c(a, np.int32).ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        i64 = lambda a: c(a, np.int64).ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        # keep converted arrays alive through the call
+        keep = [
+            c(block.id_blob, np.uint8), c(block.id_off, np.int64),
+            c(block.seq, np.uint8),
+            c(block.qual, np.uint8) if block.qual is not None else None,
+            c(mapped, np.uint8), c(flag, np.int32), c(rname_id, np.int32),
+            c(pos1, np.int64), c(mapq, np.int32), c(rnext_id, np.int32),
+            c(pnext1, np.int64), c(tlen, np.int64), c(nm, np.int32),
+            c(revcomp, np.uint8), rn_blob, c(ctable.name_off, np.int64),
+        ]
+        ptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
+        qual_ptr = (
+            ptr(keep[3], ctypes.c_uint8)
+            if keep[3] is not None
+            else ctypes.POINTER(ctypes.c_uint8)()
+        )
+        written = lib.bwtpu_sam_format(
+            ptr(keep[0], ctypes.c_uint8), ptr(keep[1], ctypes.c_int64),
+            ptr(keep[2], ctypes.c_uint8), qual_ptr,
+            ctypes.c_int32(L), ctypes.c_int64(n),
+            ptr(keep[4], ctypes.c_uint8), ptr(keep[5], ctypes.c_int32),
+            ptr(keep[6], ctypes.c_int32), ptr(keep[7], ctypes.c_int64),
+            ptr(keep[8], ctypes.c_int32), ptr(keep[9], ctypes.c_int32),
+            ptr(keep[10], ctypes.c_int64), ptr(keep[11], ctypes.c_int64),
+            ptr(keep[12], ctypes.c_int32), ptr(keep[13], ctypes.c_uint8),
+            ptr(keep[14], ctypes.c_uint8), ptr(keep[15], ctypes.c_int64),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.c_int64(cap),
+        )
+        if written >= 0:
+            return out[:written].tobytes()
+        log.warning("bwtpu_sam_format capacity bug (cap=%d); Python fallback", cap)
+    return _format_py(
+        block, mapped, flag, rname_id, pos1, mapq, rnext_id, pnext1, tlen,
+        nm, revcomp, ctable,
+    )
+
+
+def _comp_full() -> bytes:
+    """Complement table matching dna.revcomp_str (which uppercases
+    first): lowercase acgt complement like uppercase, all else 'N'."""
+    table = bytearray(b"N" * 256)
+    for a, b in zip(b"ATCGatcg", b"TAGCTAGC"):
+        table[a] = b
+    return bytes(table)
+
+
+_COMP_FULL = _comp_full()
+
+
+def _format_py(
+    block, mapped, flag, rname_id, pos1, mapq, rnext_id, pnext1, tlen, nm,
+    revcomp, ctable,
+) -> bytes:
+    names = [
+        ctable.name_blob[ctable.name_off[i] : ctable.name_off[i + 1]]
+        for i in range(len(ctable.starts))
+    ]
+    ids_blob = block.id_blob.tobytes()
+    io_ = block.id_off
+    seqs = block.seq.tobytes()
+    quals = block.qual.tobytes() if block.qual is not None else None
+    L = block.L
+    cigar = f"{L}M".encode()
+    parts: list[bytes] = []
+    for i in range(block.n):
+        rid = ids_blob[io_[i] : io_[i + 1]]
+        s = seqs[i * L : (i + 1) * L]
+        q = quals[i * L : (i + 1) * L] if quals is not None else b"*"
+        if revcomp[i]:
+            s = s[::-1].translate(_COMP_FULL)
+            if quals is not None:
+                q = q[::-1]
+        rx = rnext_id[i]
+        rnext = b"*" if rx == -1 else (b"=" if rx == -2 else names[rx])
+        if mapped[i]:
+            parts.append(
+                b"\t".join([
+                    rid, b"%d" % flag[i], names[rname_id[i]], b"%d" % pos1[i],
+                    b"%d" % mapq[i], cigar, rnext, b"%d" % pnext1[i],
+                    b"%d" % tlen[i], s, q, b"NM:i:%d" % nm[i],
+                ])
+            )
+        else:
+            parts.append(
+                b"\t".join([
+                    rid, b"%d" % flag[i], b"*", b"0", b"0", b"*", rnext,
+                    b"%d" % pnext1[i], b"0", s, q,
+                ])
+            )
+    return b"\n".join(parts) + b"\n" if parts else b""
+
+
+def emit_single(
+    block: ReadBlock, primary: Primary, ctable: ContigTable,
+    force_python: bool = False,
+) -> bytes:
+    """Single-end emission: one primary record per read (pinned rule,
+    bwtpu/sam.py::emit_sam). Boundary-crossing primaries emit unmapped
+    records (io.resolve_position convention)."""
+    n = block.n
+    cid, lpos = ctable.resolve(primary.pos, block.L)
+    eff = primary.mapped & (cid >= 0)
+    flag = np.where(
+        eff, np.where(primary.strand_rev, FLAG_REVERSE, 0), FLAG_UNMAPPED
+    ).astype(np.int32)
+    z64 = np.zeros(n, dtype=np.int64)
+    return format_records(
+        block,
+        mapped=eff, flag=flag, rname_id=cid, pos1=lpos + 1,
+        mapq=primary.mapq, rnext_id=np.full(n, -1, np.int32), pnext1=z64,
+        tlen=z64, nm=primary.nm, revcomp=eff & primary.strand_rev,
+        ctable=ctable, force_python=force_python,
+    )

@@ -1,0 +1,187 @@
+"""Columnar fast-path parity: readblock / results / samfast vs the
+Read-list oracle path (VERDICT r2 item 1).
+
+Every production fast-path stage must be equal to its interpreted twin:
+  - readblock parse (native C and NumPy) == io.read_fastq
+  - pack_block == kernels.verify2.pack_reads
+  - Engine block path (FlatHits) == Engine.align_batch Hit lists
+  - select_primary_flat == golden.select_primary per read
+  - emit_single (C and Python formatters) == sam.emit_sam, byte-equal
+  - cli align fast path == cli align legacy path, byte-equal
+"""
+
+from __future__ import annotations
+
+import gzip
+import io as _io
+
+import numpy as np
+import pytest
+
+from bwtpu import dna
+from bwtpu.config import EngineConfig
+from bwtpu.engine import Engine
+from bwtpu.golden import select_primary
+from bwtpu.index import build_fm_index, build_sharded_index
+from bwtpu.io import Contig, Read, read_fastq, write_fastq
+from bwtpu.kernels.verify2 import pack_reads
+from bwtpu.readblock import ReadBlock, pack_block, read_fastq_block
+from bwtpu.results import (ContigTable, flat_from_hit_lists, flatten_hits,
+                           hit_lists, select_primary_flat)
+from bwtpu.sam import emit_sam
+from bwtpu.samfast import emit_single
+from bwtpu.simulate import random_genome, simulate_reads
+
+
+@pytest.fixture(scope="module")
+def setup():
+    genome = random_genome(20000, seed=11)
+    cfg = EngineConfig(sa_rate=4, max_hits=8, max_cand=16, read_len=50,
+                       loc_factor=4)
+    idx = build_fm_index(genome, cfg)
+    eng = Engine([idx])
+    reads, _ = simulate_reads(
+        genome, 400, read_len=50, max_mismatches=2, n_frac=0.03, seed=5
+    )
+    # exercise QNAME whitespace-cut + lowercase normalization
+    reads[0] = Read(rid=reads[0].rid, seq=reads[0].seq.lower(),
+                    qual=reads[0].qual)
+    return genome, cfg, eng, reads
+
+
+def test_readblock_parse_matches_read_fastq(setup, tmp_path):
+    _, _, _, reads = setup
+    fq = tmp_path / "r.fq"
+    with open(fq, "w") as f:
+        for i, r in enumerate(reads):
+            extra = " extra stuff" if i % 3 == 0 else ""
+            f.write(f"@{r.rid}{extra}\n{r.seq}\n+\n{r.qual}\n")
+    blk = read_fastq_block(str(fq))
+    assert blk is not None and blk.n == len(reads)
+    ref = read_fastq(str(fq))
+    for a, b in zip(ref, blk.to_reads()):
+        assert (a.rid, a.seq, a.qual) == (b.rid, b.seq, b.qual)
+
+    # gz round trip
+    gz = tmp_path / "r.fq.gz"
+    with open(fq, "rb") as f, gzip.open(gz, "wb") as g:
+        g.write(f.read())
+    blk2 = read_fastq_block(str(gz))
+    assert blk2 is not None
+    assert np.array_equal(blk.seq, blk2.seq)
+
+
+def test_readblock_fallback_shapes(tmp_path):
+    ragged = tmp_path / "ragged.fq"
+    with open(ragged, "w") as f:
+        f.write("@a\nACGT\n+\nIIII\n@b\nACGTA\n+\nIIIII\n")
+    assert read_fastq_block(str(ragged)) is None
+    empty = tmp_path / "empty.fq"
+    empty.write_text("")
+    assert read_fastq_block(str(empty)) is None
+
+
+def test_pack_block_matches_pack_reads(setup):
+    _, _, _, reads = setup
+    blk = ReadBlock.from_reads(reads)
+    blk.words = blk.amb = None  # force the NumPy pack
+    rw1, ab1 = pack_block(blk)
+    codes = np.stack([dna.encode(r.seq.upper()) for r in reads]).astype(np.int32)
+    amb = np.stack(
+        [dna.encode_with_mask(r.seq)[1] for r in reads]
+    ).astype(np.int32)
+    rw0, ab0, _ = pack_reads(codes, amb, np.full(len(reads), 50, np.int32))
+    assert np.array_equal(rw0, rw1)
+    assert np.array_equal(ab0, ab1)
+
+
+def test_native_parse_packs_like_numpy(setup, tmp_path):
+    _, _, _, reads = setup
+    fq = tmp_path / "p.fq"
+    write_fastq(str(fq), reads)
+    blk = read_fastq_block(str(fq))
+    if blk.words is None:
+        pytest.skip("native parser unavailable")
+    w_native, a_native = blk.words.copy(), blk.amb.copy()
+    blk.words = blk.amb = None
+    w_np, a_np = pack_block(blk)
+    assert np.array_equal(w_native, w_np)
+    assert np.array_equal(a_native, a_np)
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_block_path_matches_hit_lists(setup, k):
+    _, _, eng, reads = setup
+    blk = ReadBlock.from_reads(reads)
+    flat = eng.finish_block(eng.dispatch_block(blk, k=k, pad_to=512))
+    ref = flat_from_hit_lists(eng.align_batch(reads, k=k))
+    assert np.array_equal(flat.read_idx, ref.read_idx)
+    assert np.array_equal(flat.pos, ref.pos)
+    assert np.array_equal(flat.strand_rev, ref.strand_rev)
+    assert np.array_equal(flat.nm, ref.nm)
+    # hit_lists round trip
+    hl = hit_lists(flat)
+    assert hl == eng.align_batch(reads, k=k)
+
+
+@pytest.mark.parametrize("k", [0, 2])
+def test_primary_and_sam_byte_equality(setup, k):
+    _, _, eng, reads = setup
+    blk = ReadBlock.from_reads(reads)
+    flat = eng.finish_block(eng.dispatch_block(blk, k=k))
+    hits = eng.align_batch(reads, k=k)
+    prim = select_primary_flat(flat)
+    for i, hs in enumerate(hits):
+        p, mq = select_primary(hs)
+        assert prim.mapped[i] == (p is not None)
+        if p is not None:
+            assert (prim.pos[i], prim.strand_rev[i], prim.nm[i],
+                    prim.mapq[i]) == (p.pos, p.strand == "-", p.nm, mq)
+
+    contigs = [Contig("chrA", 0, 12000), Contig("chrB", 12000, 8000)]
+    ctable = ContigTable.build(contigs)
+    buf = _io.StringIO()
+    emit_sam(reads, hits, contigs, buf, header=False)
+    ref_bytes = buf.getvalue().encode()
+    assert emit_single(blk, prim, ctable, force_python=True) == ref_bytes
+    assert emit_single(blk, prim, ctable) == ref_bytes
+
+
+def test_flatten_dedupes_min_nm():
+    # same (read, pos, strand) from two seed slots, different nm: keep min
+    flat = flatten_hits(
+        n_reads=2, read_lens=10, B=2,
+        s_idx=np.zeros(3, np.int64),
+        row_idx=np.array([0, 0, 1]),
+        p=np.array([5, 5, 7], np.int64),
+        m=np.array([2, 1, 0]),
+        text_lens=[100], offsets=[0],
+    )
+    assert flat.read_idx.tolist() == [0, 1]
+    assert flat.nm.tolist() == [1, 0]
+
+
+def test_cli_fastpath_byte_equal(tmp_path, monkeypatch):
+    import cli
+    from bwtpu import readblock
+
+    genome = random_genome(30000, seed=3)
+    cfg = EngineConfig(sa_rate=4, read_len=60)
+    shards, manifest = build_sharded_index(genome, 1, config=cfg)
+    from bwtpu.index import save_index
+
+    idx_dir = tmp_path / "idx"
+    save_index(str(idx_dir), shards, manifest)
+    reads, _ = simulate_reads(genome, 300, read_len=60, max_mismatches=2,
+                              n_frac=0.02, seed=7)
+    fq = tmp_path / "reads.fq"
+    write_fastq(str(fq), reads)
+
+    fast = tmp_path / "fast.sam"
+    cli.main(["align", str(idx_dir), str(fq), "-o", str(fast), "-k", "1",
+              "--batch-size", "128"])
+    legacy = tmp_path / "legacy.sam"
+    monkeypatch.setattr(readblock, "read_fastq_block", lambda p: None)
+    cli.main(["align", str(idx_dir), str(fq), "-o", str(legacy), "-k", "1",
+              "--batch-size", "128"])
+    assert fast.read_bytes() == legacy.read_bytes()
