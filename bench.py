@@ -235,6 +235,65 @@ def main():
             np.asarray(o[1][:64])
         k2_rps = max(k2_rps, B * n_batches / (time.time() - t0))
 
+    # --- end-to-end FASTQ -> SAM (production path, VERDICT r2 item 1) ---
+    # The device numbers above exclude parse/upload/assembly/emission;
+    # this measures the whole pipe the way `cli.py align` runs it:
+    # columnar parse -> packed dispatch (pipelined) -> count-sliced
+    # compact fetch -> vectorized primary -> C SAM formatter -> file.
+    import dataclasses as _dc
+    import os as _os
+    import tempfile as _tf
+
+    from bwtpu.engine import Engine
+    from bwtpu.io import write_fastq
+    from bwtpu.readblock import read_fastq_block
+    from bwtpu.results import ContigTable, select_primary_flat
+    from bwtpu.sam import sam_header
+    from bwtpu.samfast import emit_single
+
+    n_e2e = 1 if args.smoke else 4  # 4 x 262144 = 1.05 M reads
+    t0 = time.time()
+    e2e_dir = _tf.mkdtemp(prefix="bwtpu_e2e_")
+    fq_path = _os.path.join(e2e_dir, "reads.fq")
+    with open(fq_path, "w") as f:
+        for i in range(n_e2e):
+            rds, _ = simulate_reads(genome, B, read_len=L,
+                                    max_mismatches=2, seed=100 + i)
+            for r in rds:
+                f.write(f"@{r.rid}.{i}\n{r.seq}\n+\n{'I' * L}\n")
+    timings["e2e_setup_s"] = round(time.time() - t0, 1)
+    eng = Engine([_dc.replace(idx, config=cfg.replace(loc_factor=1, k=0))])
+    ctable = ContigTable.build(idx.contigs)
+    warm = read_fastq_block(fq_path)
+    eng.finish_block(eng.dispatch_block(warm.slice(0, B), 0, pad_to=B))
+    del warm
+    sam_path = _os.path.join(e2e_dir, "out.sam")
+    t0 = time.time()
+    blk = read_fastq_block(fq_path)
+    n_reads_e2e = blk.n
+    with open(sam_path, "wb") as out:
+        out.write(sam_header(idx.contigs).encode())
+        inflight = []
+
+        def drain():
+            sub, h = inflight.pop(0)
+            out.write(emit_single(sub, select_primary_flat(
+                eng.finish_block(h)), ctable))
+
+        for i in range(0, blk.n, B):
+            sub = blk.slice(i, i + B)
+            inflight.append((sub, eng.dispatch_block(sub, 0, pad_to=B)))
+            if len(inflight) > 2:
+                drain()
+        while inflight:
+            drain()
+    e2e_s = time.time() - t0
+    e2e_rps = n_reads_e2e / e2e_s
+    sam_mb = _os.path.getsize(sam_path) / 1e6
+    for p in (fq_path, sam_path):
+        _os.remove(p)
+    _os.rmdir(e2e_dir)
+
     # --- roofline: measure the data-dependent quantities, then model ---
     bw = hbm_bandwidth(jax.devices()[0])
     ns_per_row = calibrate_ns_per_row(
@@ -284,6 +343,10 @@ def main():
         "unit": "reads/s",
         "vs_baseline": round(exact_rps / cpu_exact_rps, 1),
         "extras": {
+            "e2e_exact_reads_per_s": round(e2e_rps, 1),
+            "e2e_wall_s": round(e2e_s, 2),
+            "e2e_reads": n_reads_e2e,
+            "e2e_sam_mb": round(sam_mb, 1),
             "k2_reads_per_s": round(k2_rps, 1),
             "cpu_ref_exact_reads_per_s": round(cpu_exact_rps, 2),
             "cpu_ref_k2_reads_per_s": round(cpu_k2_rps, 2),

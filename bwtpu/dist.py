@@ -32,10 +32,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from bwtpu.engine import (DeviceIndexSet, assemble_hits, encode_batch,
-                          exact_pipeline, exact_pipeline_packed,
-                          inexact_pipeline, inexact_pipeline_packed,
-                          pack_reads_for_bench, pick_kmer_depth, upload_index)
+from bwtpu.engine import (DeviceIndexSet, _shard_occ_step, assemble_hits,
+                          compact_cap, encode_batch, exact_pipeline,
+                          exact_pipeline_packed, inexact_pipeline,
+                          inexact_pipeline_packed, pack_reads_for_bench,
+                          pick_kmer_depth, upload_index)
 from bwtpu.golden import Hit
 from bwtpu.index import FMIndex, ShardManifest
 from bwtpu.kernels.verify2 import NM_INVALID
@@ -289,6 +290,120 @@ def build_ring_align_packed(
     return jax.jit(mapped)
 
 
+def build_ring_align_compact(
+    mesh: Mesh,
+    *,
+    k: int,
+    d: int,
+    L: int,
+    max_hits: int,
+    max_cand: int,
+    sa_rate: int,
+    loc_factor: float = 2,
+    min_trips: int = 0,
+    backend: str = "jnp",
+):
+    """Flagship ring: packed reads rotate, COMPACTED hits come home in
+    one final all-to-all (VERDICT r2 missing #2 / next #2).
+
+    The round-2 ring ran the dense scatter-back pipelines and rotated
+    full (b2, S, Ct) hit buffers on EVERY hop — ICI traffic grew as S^2
+    and the on-device scatter (~163 ns/elem, docs/DESIGN.md) rode along.
+    This builder instead:
+
+      - runs the compact_output pipelines (the single-chip flagship
+        path: no dense scatter-back) against the visiting batch;
+      - keeps each hop's fixed-cap compacted hit list (cand, nm, sel,
+        count) HOME, indexed by hop;
+      - after S hops reorders hop -> origin (origin of hop h is
+        (my_shard - h) mod S) and runs ONE lax.all_to_all over 'shard',
+        so every hit crosses the ring exactly once.
+
+    Per-device per-batch ICI bytes: S hops x packed reads (2 x b x W
+    int32) riding + one crossing of S x cap x 12 B hits — linear in S,
+    vs the dense ring's S x b2 x Ct x 9 B x S hops.
+
+    Outputs (host decodes in DistEngine._finish_packed_compact), all
+    with out_spec P(('data','shard'), ...) — axis 0 is device-major
+    (data major, shard minor), one S-sized block of source-shard rows
+    per device:
+      hc   int32[n_dev*S, cap]  candidate start positions
+      hn   int32[n_dev*S, cap]  mismatch counts
+      hsel int32[n_dev*S, cap]  flat local candidate slots (lane*Ct+j)
+      hcnt int32[n_dev*S]       live entries per (device, source shard)
+      hov  int32[n_dev*S, b2]   per-row interval overflow counts
+      hco  int32[n_dev*S]       compaction overflow totals
+    """
+    S = mesh.shape["shard"]
+    perm = [(i, (i + 1) % S) for i in range(S)]
+
+    def rotate(xs):
+        return tuple(jax.lax.ppermute(x, "shard", perm) for x in xs)
+
+    def fn(shard, rw, ab):
+        shard = jax.tree.map(lambda x: x[0], shard)
+        my = jax.lax.axis_index("shard")
+        b2 = 2 * rw.shape[0]
+        cap = compact_cap(b2, loc_factor)
+        Hc = jnp.zeros((S, cap), jnp.int32)
+        Hn = jnp.full((S, cap), NM_INVALID, jnp.int32)
+        Hs = jnp.zeros((S, cap), jnp.int32)
+        Hcnt = jnp.zeros((S,), jnp.int32)
+        Hov = jnp.zeros((S, b2), jnp.int32)
+        Hco = jnp.zeros((S,), jnp.int32)
+
+        def body(h, carry):
+            rw, ab, Hc, Hn, Hs, Hcnt, Hov, Hco = carry
+            if k == 0:
+                cand_c, nm_c, sel, count, overflow, co = exact_pipeline_packed(
+                    shard, rw, ab, L=L, d=d, max_hits=max_hits,
+                    sa_rate=sa_rate, loc_factor=loc_factor,
+                    min_trips=min_trips, backend=backend,
+                    compact_output=True,
+                )
+            else:
+                cand_c, nm_c, sel, count, overflow, co = (
+                    inexact_pipeline_packed(
+                        shard, rw, ab, L=L, k=k, d=d, max_loc=max_cand,
+                        sa_rate=sa_rate, loc_factor=loc_factor,
+                        min_trips=min_trips, backend=backend,
+                        compact_output=True,
+                    )
+                )
+            upd = jax.lax.dynamic_update_index_in_dim
+            Hc = upd(Hc, cand_c, h, 0)
+            Hn = upd(Hn, nm_c, h, 0)
+            Hs = upd(Hs, sel, h, 0)
+            Hcnt = upd(Hcnt, count[None], h, 0)
+            Hov = upd(Hov, overflow, h, 0)
+            Hco = upd(Hco, co[None], h, 0)
+            rw, ab = rotate((rw, ab))
+            return rw, ab, Hc, Hn, Hs, Hcnt, Hov, Hco
+
+        out = jax.lax.fori_loop(0, S, body, (rw, ab, Hc, Hn, Hs, Hcnt, Hov, Hco))
+        Hc, Hn, Hs, Hcnt, Hov, Hco = out[2:]
+        # hop -> origin (the batch visiting at hop h started at shard
+        # (my - h) mod S), then one all-to-all sends block o to device o
+        ordr = (my - jnp.arange(S, dtype=jnp.int32)) % S
+        a2a = lambda x: jax.lax.all_to_all(
+            jnp.take(x, ordr, axis=0), "shard", split_axis=0, concat_axis=0
+        )
+        return tuple(a2a(x) for x in (Hc, Hn, Hs, Hcnt, Hov, Hco))
+
+    batch2 = P(("data", "shard"), None)
+    in_specs = (P("shard"), batch2, batch2)
+    dev0 = P(("data", "shard"))
+    out_specs = (
+        P(("data", "shard"), None), P(("data", "shard"), None),
+        P(("data", "shard"), None), dev0,
+        P(("data", "shard"), None), dev0,
+    )
+    mapped = jax.shard_map(
+        fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+    return jax.jit(mapped)
+
+
 class DistEngine:
     """Alignment engine over a ('shard', 'data') device mesh."""
 
@@ -344,6 +459,18 @@ class DistEngine:
             )
         return self._compiled[key]
 
+    def _get_compact_fn(self, k: int, d: int, L: int):
+        key = ("compact", k, d, L)
+        if key not in self._compiled:
+            self._compiled[key] = build_ring_align_compact(
+                self.mesh, k=k, d=d, L=L,
+                max_hits=self.config.max_hits, max_cand=self.config.max_cand,
+                sa_rate=self.config.sa_rate,
+                loc_factor=self.config.loc_factor,
+                min_trips=self.config.min_trips, backend=self.backend,
+            )
+        return self._compiled[key]
+
     def _deinterleave(self, x: np.ndarray, B2: int) -> np.ndarray:
         """Packed-ring outputs order rows [fwd_loc | rev_loc] per device;
         reorder to the global [all fwd | all rev] layout assemble_hits
@@ -376,6 +503,11 @@ class DistEngine:
             d = pick_kmer_depth(self.kmer_depths, L)
         else:
             d = pick_kmer_depth(self.kmer_depths, L // (k + 1))
+        if _shard_occ_step(self.dev.shard) and d >= 1:
+            # flagship: compact pipelines in the ring, hits cross once
+            fn = self._get_compact_fn(k, d, L)
+            out = fn(self.dev.shard, put2(rw), put2(ab))
+            return ("packed_compact", reads, Bp, k, out)
         fn = self._get_packed_fn(k, d, L)
         out = fn(self.dev.shard, put2(rw), put2(ab))
         return ("packed", reads, Bp, k, out)
@@ -397,6 +529,62 @@ class DistEngine:
         valid = self._deinterleave(np.asarray(valid), B2).transpose(1, 0, 2)
         return assemble_hits(
             reads, Bp, pos, nm, valid,
+            [sh.text_len for sh in self.shards],
+            [sh.shard_offset for sh in self.shards],
+        )
+
+    def _finish_packed_compact(self, handle) -> list[list[Hit]]:
+        """Decode the compact ring's homed hit blocks.
+
+        Axis 0 of every output is device-major (data major, shard minor
+        — the P(('data','shard')) layout); block (bi, s) holds the
+        compacted hits of device bi's local reads against source shard
+        s. Local lane l < b_loc is forward strand (global read row
+        bi*b_loc + l), else reverse (row Bp + bi*b_loc + l - b_loc)."""
+        _, reads, Bp, k, out = handle
+        hc, hn, hs, hcnt, hov, hco = jax.block_until_ready(out)
+        n_dev = self.n_lanes
+        S = self.mesh.shape["shard"]
+        b_loc = Bp // n_dev
+        Ct = (k + 1) * self.config.max_cand if k else self.config.max_hits
+        hc = np.asarray(hc).reshape(n_dev, S, -1)
+        hn = np.asarray(hn).reshape(n_dev, S, -1)
+        hs = np.asarray(hs).reshape(n_dev, S, -1)
+        hcnt = np.asarray(hcnt).reshape(n_dev, S)
+        co = int(np.asarray(hco).sum())
+        if co:
+            log.warning("dist align (compact): compaction overflow by %d rows", co)
+        hov = np.asarray(hov).reshape(n_dev, S, 2 * b_loc)
+        n_over = int((hov.sum(axis=1) > 0).sum())
+        if n_over:
+            log.warning(
+                "dist align (compact): %d read-strand rows overflowed "
+                "interval capacity", n_over,
+            )
+        s_l, row_l, p_l, m_l = [], [], [], []
+        for bi in range(n_dev):
+            for s in range(S):
+                cnt = int(hcnt[bi, s])
+                sel = hs[bi, s, :cnt]
+                nm = hn[bi, s, :cnt]
+                cand = hc[bi, s, :cnt]
+                keep = nm <= k
+                sel, nm, cand = sel[keep], nm[keep], cand[keep]
+                lane = sel // Ct
+                fwd = lane < b_loc
+                row = np.where(
+                    fwd, bi * b_loc + lane, Bp + bi * b_loc + (lane - b_loc)
+                )
+                s_l.append(np.full(len(sel), s, dtype=np.int64))
+                row_l.append(row)
+                p_l.append(cand)
+                m_l.append(nm)
+        from bwtpu.engine import _assemble_flat
+
+        return _assemble_flat(
+            reads, Bp,
+            np.concatenate(s_l), np.concatenate(row_l),
+            np.concatenate(p_l).astype(np.int64), np.concatenate(m_l),
             [sh.text_len for sh in self.shards],
             [sh.shard_offset for sh in self.shards],
         )
@@ -455,6 +643,8 @@ class DistEngine:
         return ("ragged", reads, B, k, out)
 
     def finish_batch(self, handle) -> list[list[Hit]]:
+        if handle[0] == "packed_compact":
+            return self._finish_packed_compact(handle)
         if handle[0] == "packed":
             return self._finish_packed(handle)
         _, reads, B, k, out = handle

@@ -277,6 +277,13 @@ def encode_batch(
 # ---------------------------------------------------------------------------
 
 
+def compact_cap(n_lanes: int, loc_factor) -> int:
+    """Compacted-stage capacity for a batch of n_lanes read-strand rows.
+    Shared by the single-chip pipelines and the ring builder (dist.py)
+    so home-buffer shapes can never drift from the pipeline's."""
+    return max(int(n_lanes * loc_factor), 4096)
+
+
 def _locate_compacted(shard: Shard, rows, valid, *, sa_rate, cap, backend,
                       counts=None):
     """Compact valid rows, locate them, scatter positions back (-1 fill).
@@ -385,7 +392,7 @@ def _inexact_from_intervals(
     # loc_factor may be fractional: the compacted stages pay their CAP
     # in gather rows (DESIGN.md), and exact candidates average well
     # under 1/lane, so cap < B2 buys measurable rows/read.
-    cap = max(int(B2 * loc_factor), 4096)
+    cap = compact_cap(B2, loc_factor)
     sel, count, comp_over = compact_counts(ep - sp, max_loc, cap)
     sel_valid = jnp.arange(cap, dtype=jnp.int32) < count
     rows_c = jnp.take(rows.reshape(-1), sel)

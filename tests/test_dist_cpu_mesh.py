@@ -125,3 +125,35 @@ def test_ring_ragged_lengths_parity(world8):
         got = eng.align_batch(reads, k=k)
         for r, hits in zip(reads, got):
             assert hits == golden.align_read(r.seq, k=k), (k, r.rid)
+
+
+@pytest.mark.parametrize("n_shard", [2, 4, 8])
+def test_compact_ring_is_dispatched(world8, n_shard):
+    """The flagship compact ring must actually be the program that runs
+    for uniform packed batches (VERDICT r2 next #2/#10: mode asserted,
+    not just output parity), at S in {2, 4, 8}."""
+    genome, golden = world8
+    shards, manifest = build_sharded_index(
+        genome, n_shard, config=CFG, overlap=64
+    )
+    eng = DistEngine(shards, manifest, n_data=8 // n_shard)
+    reads, _ = simulate_reads(genome, 16, read_len=40, max_mismatches=2,
+                              seed=77)
+    for k in (0, 2):
+        handle = eng.dispatch_batch(reads, k=k)
+        assert handle[0] == "packed_compact", (n_shard, k)
+        got = eng.finish_batch(handle)
+        for r, hits in zip(reads, got):
+            assert hits == golden.align_read(r.seq, k=k), (n_shard, k, r.rid)
+
+
+def test_ragged_falls_back_to_dense_ring(world8):
+    from bwtpu.io import Read
+
+    genome, _ = world8
+    shards, manifest = build_sharded_index(genome, 2, config=CFG, overlap=64)
+    eng = DistEngine(shards, manifest, n_data=2)
+    reads = [Read("a", genome[10:40]), Read("b", genome[50:90])]
+    handle = eng.dispatch_batch(reads, k=0)
+    assert handle[0] == "ragged"
+    eng.finish_batch(handle)
