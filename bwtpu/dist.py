@@ -53,6 +53,30 @@ def make_mesh(n_shard: int, n_data: int, devices=None) -> Mesh:
     return Mesh(dev_array, ("shard", "data"))
 
 
+def make_multihost_mesh(n_shard: int) -> Mesh:
+    """('shard', 'data') mesh for a multi-process run, laid out so that
+
+    - each host owns an (n_shard, d_local) sub-grid: the 'shard' ring
+      (ppermute hops) stays WITHIN a host — ICI, never DCN;
+    - hosts occupy contiguous, process-ordered columns of 'data', so a
+      batch sharded P(('data','shard')) assigns every host a contiguous
+      block of rows == the reads that host ingested (SURVEY.md §3.5
+      data-parallel ingestion; no cross-host read shuffling).
+    """
+    H = jax.process_count()
+    cols = []
+    for h in range(H):
+        devs_h = [d for d in jax.devices() if d.process_index == h]
+        if len(devs_h) % n_shard:
+            raise ValueError(
+                f"host {h} has {len(devs_h)} devices, not divisible by "
+                f"{n_shard} shards"
+            )
+        d_local = len(devs_h) // n_shard
+        cols.append(np.array(devs_h).reshape(n_shard, d_local))
+    return Mesh(np.concatenate(cols, axis=1), ("shard", "data"))
+
+
 def build_ring_align(
     mesh: Mesh,
     *,
@@ -421,7 +445,11 @@ class DistEngine:
         self.config = shards[0].config
         self.backend = backend
         S = len(shards)
-        self.mesh = make_mesh(S, n_data, devices)
+        self.multiprocess = jax.process_count() > 1
+        if self.multiprocess:
+            self.mesh = make_multihost_mesh(S)
+        else:
+            self.mesh = make_mesh(S, n_data, devices)
 
         def sharding_fn(extra_dims):
             return NamedSharding(self.mesh, P("shard", *([None] * extra_dims)))
@@ -433,8 +461,37 @@ class DistEngine:
 
     @property
     def n_lanes(self) -> int:
-        """Global batch rows must be a multiple of this."""
-        return self.mesh.shape["shard"] * self.mesh.shape["data"]
+        """LOCAL batch rows must be a multiple of this (every process
+        dispatches its own chunk; chunks stack host-contiguously)."""
+        S = self.mesh.shape["shard"]
+        if self.multiprocess:
+            return S * (self.mesh.shape["data"] // jax.process_count())
+        return S * self.mesh.shape["data"]
+
+    def _put_batch(self, x: np.ndarray):
+        """Local batch rows -> device array sharded P(('data','shard')).
+        Multi-process: the local array is this host's contiguous block
+        of the global batch (make_multihost_mesh layout)."""
+        spec = P(("data", "shard")) if x.ndim == 1 else P(("data", "shard"), None)
+        if self.multiprocess:
+            from jax.experimental import multihost_utils
+
+            return multihost_utils.host_local_array_to_global_array(
+                np.asarray(x), self.mesh, spec
+            )
+        return jax.device_put(np.asarray(x), NamedSharding(self.mesh, spec))
+
+    def _get_local(self, x):
+        """Device output -> this host's block as NumPy (axis 0 is the
+        device-major P(('data','shard')) layout in both cases)."""
+        if self.multiprocess:
+            from jax.experimental import multihost_utils
+
+            spec = P(("data", "shard"), *([None] * (x.ndim - 1)))
+            x = multihost_utils.global_array_to_host_local_array(
+                x, self.mesh, spec
+            )
+        return np.asarray(x)
 
     def _get_fn(self, k: int, d: int):
         key = (k, d)
@@ -497,8 +554,7 @@ class DistEngine:
         amb[:B] = m.reshape(B, L)
         rw, ab, _ = pack_reads(codes, amb, np.full(Bp, L, np.int32))
 
-        batch2 = NamedSharding(self.mesh, P(("data", "shard"), None))
-        put2 = lambda x: jax.device_put(np.asarray(x), batch2)
+        put2 = self._put_batch
         if k == 0:
             d = pick_kmer_depth(self.kmer_depths, L)
         else:
@@ -521,12 +577,12 @@ class DistEngine:
             nm = None
         else:
             pos, nm, valid, overflow, comp_over = out
-            nm = self._deinterleave(np.asarray(nm), B2).transpose(1, 0, 2)
-        co = int(np.asarray(comp_over).sum())
+            nm = self._deinterleave(self._get_local(nm), B2).transpose(1, 0, 2)
+        co = int(self._get_local(comp_over).sum())
         if co:
             log.warning("dist align (packed): compaction overflow by %d rows", co)
-        pos = self._deinterleave(np.asarray(pos), B2).transpose(1, 0, 2)
-        valid = self._deinterleave(np.asarray(valid), B2).transpose(1, 0, 2)
+        pos = self._deinterleave(self._get_local(pos), B2).transpose(1, 0, 2)
+        valid = self._deinterleave(self._get_local(valid), B2).transpose(1, 0, 2)
         return assemble_hits(
             reads, Bp, pos, nm, valid,
             [sh.text_len for sh in self.shards],
@@ -543,18 +599,18 @@ class DistEngine:
         bi*b_loc + l), else reverse (row Bp + bi*b_loc + l - b_loc)."""
         _, reads, Bp, k, out = handle
         hc, hn, hs, hcnt, hov, hco = jax.block_until_ready(out)
-        n_dev = self.n_lanes
+        n_dev = self.n_lanes  # local devices (this host's blocks only)
         S = self.mesh.shape["shard"]
         b_loc = Bp // n_dev
         Ct = (k + 1) * self.config.max_cand if k else self.config.max_hits
-        hc = np.asarray(hc).reshape(n_dev, S, -1)
-        hn = np.asarray(hn).reshape(n_dev, S, -1)
-        hs = np.asarray(hs).reshape(n_dev, S, -1)
-        hcnt = np.asarray(hcnt).reshape(n_dev, S)
-        co = int(np.asarray(hco).sum())
+        hc = self._get_local(hc).reshape(n_dev, S, -1)
+        hn = self._get_local(hn).reshape(n_dev, S, -1)
+        hs = self._get_local(hs).reshape(n_dev, S, -1)
+        hcnt = self._get_local(hcnt).reshape(n_dev, S)
+        co = int(self._get_local(hco).sum())
         if co:
             log.warning("dist align (compact): compaction overflow by %d rows", co)
-        hov = np.asarray(hov).reshape(n_dev, S, 2 * b_loc)
+        hov = self._get_local(hov).reshape(n_dev, S, 2 * b_loc)
         n_over = int((hov.sum(axis=1) > 0).sum())
         if n_over:
             log.warning(
@@ -615,6 +671,12 @@ class DistEngine:
             raise ValueError("packed=True requires uniform-length reads")
         if packed:
             return self._dispatch_packed(reads, k, L)
+        if self.multiprocess:
+            raise ValueError(
+                "multi-process runs require uniform-length reads (the "
+                "ragged ring stacks strands host-side, which does not "
+                "shard host-contiguously); pad or trim the stream"
+            )
         lanes = self.n_lanes
         # pad so the stacked-strand batch (2B rows) splits evenly over devices
         Bp = max(lanes, -(-len(reads) // lanes) * lanes)

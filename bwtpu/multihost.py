@@ -43,9 +43,24 @@ import sys
 import time
 
 
-def initialize(coordinator: str | None, num_processes: int, process_id: int):
+def initialize(coordinator: str | None, num_processes: int, process_id: int,
+               platform: str | None = None, host_devices: int = 0):
+    """Bring up the process group. platform/host_devices support
+    multi-process runs on CPU hosts (SURVEY.md §4.2.4: the same
+    collective program, no pod slice needed): host_devices virtual CPU
+    devices per process, collectives over the coordinator."""
+    import os
+
+    if host_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={host_devices}"
+            ).strip()
     import jax
 
+    if platform:
+        jax.config.update("jax_platforms", platform)
     if num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator,
@@ -68,7 +83,8 @@ def run(args):
     from bwtpu.io import Read, read_reads
     from bwtpu.sam import emit_sam, pair_and_emit_sam, sam_header
 
-    initialize(args.coordinator, args.num_processes, args.process_id)
+    initialize(args.coordinator, args.num_processes, args.process_id,
+               platform=args.platform, host_devices=args.host_devices)
     shards, manifest = load_index(args.index)
     n_dev = len(jax.devices())
     S = len(shards)
@@ -113,6 +129,12 @@ def run(args):
                 "--paired or none (the collective program differs)"
             )
     packed = 0 < lmin == lmax <= eng.config.read_len
+    if args.num_processes > 1 and not packed:
+        raise SystemExit(
+            "multi-process runs require one uniform read length <= the "
+            f"index read_len ({eng.config.read_len}); got lengths "
+            f"[{lmin}, {lmax}] pod-wide"
+        )
 
     out_path = (
         args.out
@@ -205,6 +227,11 @@ def main(argv=None):
     p.add_argument("--pipeline-depth", type=int, default=3)
     p.add_argument("--min-insert", type=int, default=0)
     p.add_argument("--max-insert", type=int, default=1000)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu for multi-process "
+                        "runs without a pod slice)")
+    p.add_argument("--host-devices", type=int, default=0,
+                   help="virtual CPU devices per process (cpu platform)")
     run(p.parse_args(argv))
 
 

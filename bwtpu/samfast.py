@@ -23,6 +23,16 @@ from bwtpu.sam import FLAG_REVERSE, FLAG_UNMAPPED
 log = logging.getLogger(__name__)
 
 _fmt_ready = False
+_out_cache: list = []
+
+
+def _out_buf(cap: int) -> np.ndarray:
+    """Reused output buffer: a fresh 60 MB allocation per batch pays
+    ~50 MB/s first-touch faults on this host (docs/DESIGN.md
+    "page-fault wall"); one cached buffer amortizes them away."""
+    if not _out_cache or _out_cache[0].size < cap:
+        _out_cache[:] = [np.empty(int(cap * 5 // 4), dtype=np.uint8)]
+    return _out_cache[0]
 
 
 def _native_fmt():
@@ -90,7 +100,7 @@ def format_records(
             rn_blob = np.zeros(1, dtype=np.uint8)
         max_rn = int(np.max(np.diff(ctable.name_off), initial=1))
         cap = int(block.id_blob.size) + n * (2 * L + max_rn + 128)
-        out = np.empty(cap, dtype=np.uint8)
+        out = _out_buf(cap)
         c = lambda a, t: np.ascontiguousarray(a, dtype=t)
         u8 = lambda a: c(a, np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
         i32 = lambda a: c(a, np.int32).ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
