@@ -39,6 +39,7 @@ from bwtpu.golden import Hit
 from bwtpu.index import FMIndex, OCCK_STEP_FROM_WIDTH, ShardManifest
 from bwtpu.io import Read
 from bwtpu.kernels.compact import compact, compact_counts, scatter_back
+from bwtpu.kernels.compact import compact as compact_mask
 from bwtpu.kernels.locate import locate_rows
 from bwtpu.kernels.search import backward_search, interval_rows
 from bwtpu.kernels.search2 import backward_search_ra, right_align
@@ -744,16 +745,17 @@ class Engine:
                 )
         return (reads, B, k, shard_outs, time.perf_counter(), "dense")
 
-    def _packed_fn(self, kind: str, k: int, d: int, L: int, compact: bool):
+    def _packed_fn(self, kind: str, k: int, d: int, L: int, compact: bool,
+                   hits_output: bool = False, vmapped: bool = False):
         key = (
-            "packed", kind, k, d, L, compact,
+            "packed", kind, k, d, L, compact, hits_output, vmapped,
             self.config.max_hits, self.config.max_cand,
         )
         if key not in self._compiled:
             cfg, backend = self.config, self.backend
             if kind == "exact":
 
-                def fn(shard, rw, ab):
+                def pipe(shard, rw, ab):
                     return exact_pipeline_packed(
                         shard, rw, ab, L=L, d=d, max_hits=cfg.max_hits,
                         sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor,
@@ -762,13 +764,39 @@ class Engine:
                     )
             else:
 
-                def fn(shard, rw, ab):
+                def pipe(shard, rw, ab):
                     return inexact_pipeline_packed(
                         shard, rw, ab, L=L, k=k, d=d, max_loc=cfg.max_cand,
                         sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor,
                         min_trips=cfg.min_trips, backend=backend,
                         compact_output=compact,
                     )
+
+            fn = pipe
+            if hits_output:
+                assert compact
+                # one-round-trip output: keep only verified hits
+                # (nm <= k), pack (sel, nm) into one int32, and return
+                # fixed-shape arrays + scalars so the host fetches the
+                # whole result in a single device_get. Every finish-side
+                # sync through the relay measured ~270 ms (DESIGN.md
+                # "e2e profile"); this removes the count pre-fetch and
+                # the three slice dispatches. Hits are a subset of the
+                # cap-compacted candidates, so reusing the same cap
+                # introduces no new overflow class.
+                def fn(shard, rw, ab):
+                    cand_c, nm_c, sel, count, overflow, co = pipe(shard, rw, ab)
+                    keep = (nm_c <= k) & (
+                        jnp.arange(sel.shape[0], dtype=jnp.int32) < count
+                    )
+                    sel2, cnt2, _ = compact_mask(keep, sel.shape[0])
+                    hc = jnp.take(cand_c, sel2)
+                    # entries >= cnt2 are garbage; the host slices first
+                    hm = jnp.take(sel, sel2) * 4 + jnp.take(nm_c, sel2)
+                    return hc, hm, cnt2, (overflow > 0).sum(), co
+
+            if vmapped:
+                fn = jax.vmap(fn, in_axes=(0, None, None))
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
 
@@ -847,12 +875,26 @@ class Engine:
         d = pick_kmer_depth(self.kmer_depths, L if k == 0 else L // (k + 1))
         compact = bool(_shard_occ_step(self.dev.shard) and d >= 1)
         kind = "exact" if k == 0 else "inexact"
-        fn = self._packed_fn(kind, k, d, L, compact)
+        Ct = (k + 1) * self.config.max_cand if k else self.config.max_hits
+        # hits mode packs (sel, nm) into one int32: sel*4 + nm
+        hits = compact and 2 * Bp * Ct * 4 < 2**31
+        if hits and self.backend == "jnp":
+            # all S shards in ONE dispatch (vmap over the stacked shard
+            # axis — r1 weak #6: S serial dispatches each paid the
+            # relay's fixed latency) and later ONE stacked fetch. The
+            # Mosaic vmap restriction only applies to the pallas
+            # backend (engine._exact_fn NOTE).
+            vfn = self._packed_fn(kind, k, d, L, compact, hits_output=True,
+                                  vmapped=True)
+            out = vfn(self.dev.shard, rw, ab)
+            return ("block", block, Bp, k, ("stacked", out),
+                    time.perf_counter(), "hits")
+        fn = self._packed_fn(kind, k, d, L, compact, hits_output=hits)
         shard_outs = []
         for s in range(self.dev.n_shards):
             sh_s = jax.tree.map(lambda x: x[s], self.dev.shard)
             shard_outs.append(fn(sh_s, rw, ab))
-        mode = "compact" if compact else "dense"
+        mode = "hits" if hits else ("compact" if compact else "dense")
         return ("block", block, Bp, k, shard_outs, time.perf_counter(), mode)
 
     def finish_block(self, handle):
@@ -866,7 +908,33 @@ class Engine:
         tag, block, Bp, k, shard_outs, t_disp, mode = handle
         assert tag == "block"
         Ct = (k + 1) * self.config.max_cand if k else self.config.max_hits
-        if mode == "compact":
+        if mode == "hits":
+            # ONE device_get total (stacked) or per shard: fixed-shape
+            # hit arrays + scalars — count rides along; no pre-sync, no
+            # slice dispatches
+            shard_comp = []
+            n_over = 0
+            compact_over = 0
+            if isinstance(shard_outs, tuple) and shard_outs[0] == "stacked":
+                hc_s, hm_s, cnt_s, ov_s, co_s = jax.device_get(shard_outs[1])
+                per_shard = [
+                    (hc_s[s], hm_s[s], int(cnt_s[s]), int(ov_s[s]), int(co_s[s]))
+                    for s in range(hc_s.shape[0])
+                ]
+            else:
+                per_shard = []
+                for o in shard_outs:
+                    hc, hm, cnt, ov, co = jax.device_get(o)
+                    per_shard.append((hc, hm, int(cnt), int(ov), int(co)))
+            for hc, hm, cnt, ov, co in per_shard:
+                hm = hm[:cnt]
+                shard_comp.append((hc[:cnt], hm % 4, hm // 4, cnt))
+                n_over += ov
+                compact_over += co
+            self.stats.device_s += time.perf_counter() - t_disp
+            t1 = time.perf_counter()
+            s_idx, row_idx, p, m = compact_to_columns(shard_comp, k, Ct)
+        elif mode == "compact":
             shard_comp = []
             n_over = 0
             compact_over = 0

@@ -185,3 +185,26 @@ def test_cli_fastpath_byte_equal(tmp_path, monkeypatch):
     cli.main(["align", str(idx_dir), str(fq), "-o", str(legacy), "-k", "1",
               "--batch-size", "128"])
     assert fast.read_bytes() == legacy.read_bytes()
+
+
+@pytest.mark.parametrize("k", [0, 2])
+def test_block_path_multi_shard_vmapped(k):
+    """S>1: all shards dispatched in ONE vmapped jit + ONE stacked
+    fetch (VERDICT r2 next #5); parity with the Read-list path."""
+    genome = random_genome(24000, seed=21)
+    cfg = EngineConfig(sa_rate=4, max_hits=8, max_cand=16, read_len=50,
+                       loc_factor=4)
+    shards, manifest = build_sharded_index(genome, 4, config=cfg, overlap=128)
+    eng = Engine(shards, manifest)
+    reads, _ = simulate_reads(genome, 200, read_len=50, max_mismatches=2,
+                              seed=22)
+    blk = ReadBlock.from_reads(reads)
+    handle = eng.dispatch_block(blk, k=k, pad_to=256)
+    assert handle[6] == "hits" and handle[4][0] == "stacked", (
+        handle[6], type(handle[4]))
+    flat = eng.finish_block(handle)
+    ref = flat_from_hit_lists(eng.align_batch(reads, k=k))
+    assert np.array_equal(flat.read_idx, ref.read_idx)
+    assert np.array_equal(flat.pos, ref.pos)
+    assert np.array_equal(flat.strand_rev, ref.strand_rev)
+    assert np.array_equal(flat.nm, ref.nm)
