@@ -262,11 +262,23 @@ def main():
             for r in rds:
                 f.write(f"@{r.rid}.{i}\n{r.seq}\n+\n{'I' * L}\n")
     timings["e2e_setup_s"] = round(time.time() - t0, 1)
-    eng = Engine([_dc.replace(idx, config=cfg.replace(loc_factor=1, k=0))])
+    # flagship e2e config: min_trips=1 thins false candidates 4^3-fold
+    # (no compaction overflow at bench scale, verified), hit_factor
+    # sizes the one-round-trip hit buffer for the ~27 MB/s relay D2H
+    eng = Engine([_dc.replace(idx, config=cfg.replace(
+        loc_factor=1, k=0, min_trips=1, hit_factor=0.5))])
     ctable = ContigTable.build(idx.contigs)
     warm = read_fastq_block(fq_path)
     eng.finish_block(eng.dispatch_block(warm.slice(0, B), 0, pad_to=B))
     del warm
+    from concurrent.futures import ThreadPoolExecutor
+
+    ex = ThreadPoolExecutor(max_workers=1)
+
+    def process(h):
+        flat = eng.finish_block(h)
+        return flat, select_primary_flat(flat)
+
     sam_path = _os.path.join(e2e_dir, "out.sam")
     t0 = time.time()
     blk = read_fastq_block(fq_path)
@@ -276,18 +288,21 @@ def main():
         inflight = []
 
         def drain():
-            sub, h = inflight.pop(0)
-            out.write(emit_single(sub, select_primary_flat(
-                eng.finish_block(h)), ctable))
+            sub, fut = inflight.pop(0)
+            flat, prim = fut.result()
+            out.write(emit_single(sub, prim, ctable))
 
         for i in range(0, blk.n, B):
             sub = blk.slice(i, i + B)
-            inflight.append((sub, eng.dispatch_block(sub, 0, pad_to=B)))
+            h = eng.dispatch_block(sub, 0, pad_to=B)
+            inflight.append((sub, ex.submit(process, h)))
             if len(inflight) > 2:
                 drain()
         while inflight:
             drain()
+    ex.shutdown(wait=False)
     e2e_s = time.time() - t0
+    e2e_over = eng.stats.overflow_reads + eng.stats.compact_overflows
     e2e_rps = n_reads_e2e / e2e_s
     sam_mb = _os.path.getsize(sam_path) / 1e6
     for p in (fq_path, sam_path):
@@ -347,6 +362,7 @@ def main():
             "e2e_wall_s": round(e2e_s, 2),
             "e2e_reads": n_reads_e2e,
             "e2e_sam_mb": round(sam_mb, 1),
+            "e2e_overflows": int(e2e_over),
             "k2_reads_per_s": round(k2_rps, 1),
             "cpu_ref_exact_reads_per_s": round(cpu_exact_rps, 2),
             "cpu_ref_k2_reads_per_s": round(cpu_k2_rps, 2),

@@ -64,6 +64,13 @@ class EngineConfig:
     # gathers per trip (docs/DESIGN.md "candidate thinning"). 0 = stop
     # as soon as the width fits.
     min_trips: int = 0
+    # Verified-hit output capacity factor: the one-round-trip hits
+    # output (engine._packed_fn hits_output) returns at most
+    # max(hit_factor * batch_rows, 4096) hits per shard per batch.
+    # Device-to-host through this rig's relay moves ~27 MB/s (DESIGN.md
+    # round 3), so the buffer size is a throughput lever; overflow is
+    # counted and logged loudly (hits dropped -> raise hit_factor).
+    hit_factor: float = 1.0
     # k-mer start table depth d: one lookup replaces the first d chained
     # backward-search steps (docs/DESIGN.md). 0 = disabled; None = auto
     # (chosen from genome size at index build: ~log4(n), capped at 12).

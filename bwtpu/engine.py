@@ -7,18 +7,25 @@ compiled once with jax.jit (SURVEY.md §7.0), processing both strands of
 thousands of reads per call. Host code does encoding/packing, batching
 and hit assembly.
 
-v2 pipeline structure (driven by the measured gather economics in
-docs/DESIGN.md — cost is per gathered row, row width free):
+Pipeline structure (driven by the measured gather economics in
+docs/DESIGN.md — cost is per gathered row, row width free). Both paths
+run off 2-bit packed read words (device_prep_packed) when the
+multi-step lattice is present:
 
-  exact:   kmer-start -> right-aligned backward search -> interval
-           expand -> COMPACT valid rows -> LF-walk locate -> scatter
-  inexact: host-built right-aligned seeds -> kmer-start seed search ->
-           expand -> compact -> locate -> candidates -> quadratic dedupe
-           -> compact -> packed XOR/popcount verify -> scatter
+  exact:   kmer-start -> multi-step early-stop search -> ONE
+           compaction -> locate -> packed XOR/popcount verify
+           (exact = the k=0 case of the unified candidate path)
+  inexact: per-slot static seed searches on the packed words -> ONE
+           compaction over all seed intervals -> locate -> packed
+           verify (duplicates from different seed slots are deduped on
+           the host — bwtpu.results)
 
-Single-process multi-shard here (stacked shard axis + vmap); the
-multi-host/multi-device path wraps the same per-shard function in
-shard_map (bwtpu.dist).
+Outputs are compacted hit lists (optionally nm<=k-filtered and packed
+for a one-round-trip fetch); the dense scatter-back layout survives
+only as the fallback for 1-step indexes. Multi-shard single-process
+runs vmap the per-shard pipeline over the stacked shard axis; the
+multi-device path wraps the same per-shard function in shard_map
+(bwtpu.dist).
 """
 
 from __future__ import annotations
@@ -789,11 +796,17 @@ class Engine:
                     keep = (nm_c <= k) & (
                         jnp.arange(sel.shape[0], dtype=jnp.int32) < count
                     )
-                    sel2, cnt2, _ = compact_mask(keep, sel.shape[0])
+                    # hit buffer sized by hit_factor: D2H through the
+                    # relay is the scarce resource (~27 MB/s, DESIGN.md)
+                    hit_cap = min(
+                        sel.shape[0],
+                        compact_cap(2 * rw.shape[0], cfg.hit_factor),
+                    )
+                    sel2, cnt2, hover = compact_mask(keep, hit_cap)
                     hc = jnp.take(cand_c, sel2)
                     # entries >= cnt2 are garbage; the host slices first
                     hm = jnp.take(sel, sel2) * 4 + jnp.take(nm_c, sel2)
-                    return hc, hm, cnt2, (overflow > 0).sum(), co
+                    return hc, hm, cnt2, (overflow > 0).sum(), co, hover
 
             if vmapped:
                 fn = jax.vmap(fn, in_axes=(0, None, None))
@@ -915,22 +928,35 @@ class Engine:
             shard_comp = []
             n_over = 0
             compact_over = 0
+            hit_over = 0
             if isinstance(shard_outs, tuple) and shard_outs[0] == "stacked":
-                hc_s, hm_s, cnt_s, ov_s, co_s = jax.device_get(shard_outs[1])
+                hc_s, hm_s, cnt_s, ov_s, co_s, ho_s = jax.device_get(
+                    shard_outs[1]
+                )
                 per_shard = [
-                    (hc_s[s], hm_s[s], int(cnt_s[s]), int(ov_s[s]), int(co_s[s]))
+                    (hc_s[s], hm_s[s], int(cnt_s[s]), int(ov_s[s]),
+                     int(co_s[s]), int(ho_s[s]))
                     for s in range(hc_s.shape[0])
                 ]
             else:
                 per_shard = []
                 for o in shard_outs:
-                    hc, hm, cnt, ov, co = jax.device_get(o)
-                    per_shard.append((hc, hm, int(cnt), int(ov), int(co)))
-            for hc, hm, cnt, ov, co in per_shard:
+                    hc, hm, cnt, ov, co, ho = jax.device_get(o)
+                    per_shard.append((hc, hm, int(cnt), int(ov), int(co),
+                                      int(ho)))
+            for hc, hm, cnt, ov, co, ho in per_shard:
                 hm = hm[:cnt]
                 shard_comp.append((hc[:cnt], hm % 4, hm // 4, cnt))
                 n_over += ov
                 compact_over += co
+                hit_over += ho
+            if hit_over:
+                log.warning(
+                    "align block: hit buffer overflowed by %d hits — "
+                    "results incomplete; raise config.hit_factor",
+                    hit_over,
+                )
+                self.stats.compact_overflows += hit_over
             self.stats.device_s += time.perf_counter() - t_disp
             t1 = time.perf_counter()
             s_idx, row_idx, p, m = compact_to_columns(shard_comp, k, Ct)

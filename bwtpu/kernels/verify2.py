@@ -104,18 +104,3 @@ def verify_packed(
     pair = (pair | amb_bits.astype(jnp.uint32)) & len_mask.astype(jnp.uint32)
     nm = jnp.sum(popcount32(pair), axis=1).astype(jnp.int32)
     return jnp.where(in_range, nm, NM_INVALID)
-
-
-def dedupe_quadratic(cand: jnp.ndarray, valid: jnp.ndarray):
-    """Invalidate duplicate candidate positions per read (keep first).
-
-    cand/valid: (B, C) with small C — the O(C^2) pairwise compare is a
-    few fused VPU ops and beats a bitonic sort at these widths
-    (measured: sort cost ~99 ms/batch at C=48).
-    """
-    # eq[b, i, j] = cand[b, i] == cand[b, j] and valid[b, j]
-    eq = (cand[:, :, None] == cand[:, None, :]) & valid[:, None, :]
-    C = cand.shape[1]
-    earlier = np.tril(np.ones((C, C), dtype=bool), -1)[None]  # j < i
-    dup = jnp.any(eq & earlier, axis=2)
-    return valid & ~dup

@@ -42,6 +42,7 @@ def _record(
     rnext: str = "*",
     pnext: int = 0,
     tlen: int = 0,
+    tag: str | None = None,
 ) -> str:
     qual = read.qual if read.qual else "*"
     if hit is None:
@@ -66,10 +67,11 @@ def _record(
         seq = dna.revcomp_str(read.seq)
         q = qual[::-1] if qual != "*" else "*"
     cigar = f"{len(read.seq)}M"
-    return "\t".join(
-        [read.rid, str(flag), rname, str(pos0 + 1), str(mapq), cigar,
-         rnext, str(pnext), str(tlen), seq, q, f"NM:i:{hit.nm}"]
-    )
+    fields = [read.rid, str(flag), rname, str(pos0 + 1), str(mapq), cigar,
+              rnext, str(pnext), str(tlen), seq, q, f"NM:i:{hit.nm}"]
+    if tag:
+        fields.append(tag)
+    return "\t".join(fields)
 
 
 def emit_sam(
@@ -78,13 +80,18 @@ def emit_sam(
     contigs: list[Contig],
     out: TextIO,
     header: bool = True,
+    tags_per_read: list[str | None] | None = None,
 ):
-    """Single-end emission: one primary record per read (pinned rule)."""
+    """Single-end emission: one primary record per read (pinned rule).
+
+    tags_per_read: optional extra SAM tag (e.g. "AS:i:40") appended to
+    each read's record when mapped (cli align --rescore)."""
     if header:
         out.write(sam_header(contigs))
-    for read, hits in zip(reads, hits_per_read):
+    for i, (read, hits) in enumerate(zip(reads, hits_per_read)):
         primary, mapq = select_primary(hits)
-        out.write(_record(read, primary, mapq, contigs) + "\n")
+        tag = tags_per_read[i] if tags_per_read else None
+        out.write(_record(read, primary, mapq, contigs, tag=tag) + "\n")
 
 
 def pair_and_emit_sam(

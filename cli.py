@@ -80,6 +80,8 @@ def _align_block_stream(engine, blk, manifest, args, k, bs, start_batch,
     from bwtpu.samfast import emit_single
     from bwtpu.sam import sam_header
 
+    from concurrent.futures import ThreadPoolExecutor
+
     ctable = ContigTable.build(manifest.contigs)
     out = (
         sys.stdout.buffer
@@ -88,6 +90,15 @@ def _align_block_stream(engine, blk, manifest, args, k, bs, start_batch,
     )
     t_start = time.time()
     total = 0
+    # finish (device fetch + vectorized assembly) runs in one worker
+    # thread so it overlaps SAM formatting/IO on the main thread; SAM
+    # and the cursor are still written strictly in order
+    ex = ThreadPoolExecutor(max_workers=1)
+
+    def process(handle):
+        flat = engine.finish_block(handle)
+        return flat, select_primary_flat(flat)
+
     try:
         if mode == "w":
             out.write(sam_header(manifest.contigs).encode())
@@ -95,9 +106,8 @@ def _align_block_stream(engine, blk, manifest, args, k, bs, start_batch,
 
         def drain_one():
             nonlocal total
-            bi0, t0, sub, handle = inflight.pop(0)
-            flat = engine.finish_block(handle)
-            prim = select_primary_flat(flat)
+            bi0, t0, sub, fut = inflight.pop(0)
+            flat, prim = fut.result()
             out.write(emit_single(sub, prim, ctable))
             total += sub.n
             print(
@@ -115,15 +125,14 @@ def _align_block_stream(engine, blk, manifest, args, k, bs, start_batch,
             if bi // bs < start_batch:
                 continue
             sub = blk.slice(bi, bi + bs)
-            inflight.append((
-                bi // bs, time.time(), sub,
-                engine.dispatch_block(sub, k, pad_to=bs),
-            ))
+            handle = engine.dispatch_block(sub, k, pad_to=bs)
+            inflight.append((bi // bs, time.time(), sub, ex.submit(process, handle)))
             if len(inflight) > 3:
                 drain_one()
         while inflight:
             drain_one()
     finally:
+        ex.shutdown(wait=False)
         if out is not sys.stdout.buffer:
             out.close()
     return total, t_start
@@ -156,7 +165,7 @@ def cmd_align(args):
         log.info("resuming at batch %d", start_batch)
     mode = "a" if (args.resume and start_batch > 0) else "w"
 
-    if not args.paired and not args.profile:
+    if not args.paired and not args.profile and not args.rescore:
         # columnar fast path (uniform-length FASTQ); falls back to the
         # Read-list path for ragged/FASTA/paired inputs
         from bwtpu.readblock import read_fastq_block
@@ -208,7 +217,22 @@ def cmd_align(args):
                 nonlocal total
                 bi0, t0, chunk, handle = inflight.pop(0)
                 hits = engine.finish_batch(handle)
-                emit_sam(chunk, hits, manifest.contigs, out, header=False)
+                tags = None
+                if args.rescore:
+                    # banded-SW rescore of the primary hit -> AS:i tag
+                    from bwtpu.golden import select_primary
+                    from bwtpu.sw import rescore_candidates
+
+                    primaries = [
+                        [select_primary(h)[0]] if h else [] for h in hits
+                    ]
+                    scores = rescore_candidates(engine, chunk, primaries)
+                    tags = [
+                        f"AS:i:{scores[(i, 0)]}" if (i, 0) in scores else None
+                        for i in range(len(chunk))
+                    ]
+                emit_sam(chunk, hits, manifest.contigs, out, header=False,
+                         tags_per_read=tags)
                 total += len(chunk)
                 _log_batch(bi0, len(chunk), hits, None, t0)
                 _save_cursor(cursor_path, bi0 + 1)
@@ -378,6 +402,10 @@ def main(argv=None):
     a.add_argument("--max-insert", type=int, default=1000)
     a.add_argument("--resume", action="store_true",
                    help="resume from <out>.cursor after an interrupted run")
+    a.add_argument("--rescore", action="store_true",
+                   help="banded Smith-Waterman rescore of each primary "
+                        "hit; adds an AS:i tag (single-end, Read-list "
+                        "path)")
     a.add_argument("--profile", help="write a jax profiler trace to this dir")
     a.set_defaults(fn=cmd_align)
 
