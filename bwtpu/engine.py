@@ -803,10 +803,16 @@ class Engine:
                         compact_cap(2 * rw.shape[0], cfg.hit_factor),
                     )
                     sel2, cnt2, hover = compact_mask(keep, hit_cap)
-                    hc = jnp.take(cand_c, sel2)
+                    # ONE row gather for the whole payload: separate
+                    # element takes of (cand, sel, nm) each cost a full
+                    # per-element gather — measured 19.4 ms of a 61 ms
+                    # batch, the pipeline's largest stage
+                    # (docs/DESIGN.md "stage attribution, round 3")
+                    payload = jnp.stack([cand_c, sel * 4 + nm_c], axis=1)
+                    out2 = jnp.take(payload, sel2, axis=0)
                     # entries >= cnt2 are garbage; the host slices first
-                    hm = jnp.take(sel, sel2) * 4 + jnp.take(nm_c, sel2)
-                    return hc, hm, cnt2, (overflow > 0).sum(), co, hover
+                    return (out2[:, 0], out2[:, 1], cnt2,
+                            (overflow > 0).sum(), co, hover)
 
             if vmapped:
                 fn = jax.vmap(fn, in_axes=(0, None, None))

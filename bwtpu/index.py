@@ -145,21 +145,27 @@ class FMIndex:
 
 
 def build_fm_index(
-    genome: str,
+    genome: str | None = None,
     config: EngineConfig | None = None,
     contigs: list[Contig] | None = None,
     shard_offset: int = 0,
     sa: np.ndarray | None = None,
     force_numpy: bool = False,
+    text_codes: np.ndarray | None = None,
 ) -> FMIndex:
-    """Build one shard's FM-index from a (sanitized) genome string.
+    """Build one shard's FM-index from a genome string OR pre-encoded
+    uint8 base codes (`text_codes`, already sanitized — the streaming
+    sharded build passes memmap slices this way so the parent never
+    pickles genome strings to workers).
 
     Call stack per SURVEY.md §3.1: read_fasta -> build_sa -> bwt_from_sa
     -> build_c -> build_occ_checkpoints -> sample_sa -> lattice pack.
     """
     config = config or EngineConfig()
-    genome = dna.sanitize_genome(genome)
-    text_codes = dna.encode(genome)
+    if text_codes is None:
+        genome = dna.sanitize_genome(genome)
+        text_codes = dna.encode(genome)
+    text_codes = np.ascontiguousarray(text_codes, dtype=np.uint8)
     text_len = len(text_codes)
     if text_len >= 2**31 - 1:
         raise ValueError(
@@ -176,26 +182,45 @@ def build_fm_index(
     n = text_len + 1
     if sa is None:
         sa = sais.suffix_array(symbols)
-    bwt_sym = symbols[(sa - 1) % n]  # 0..4, exactly one 0 ('$')
-    dollar_row = int(np.nonzero(bwt_sym == 0)[0][0])
 
-    # L2: C table over the 5-symbol alphabet.
-    counts5 = np.bincount(bwt_sym, minlength=5)
-    C = np.zeros(8, dtype=np.int64)
-    C[1:5] = np.cumsum(counts5)[:4]
-    C = C.astype(np.int32)
+    # k-mer depth ladder is decided up front: the fused native pass
+    # needs to know whether the multi-step lattice will be built.
+    d = config.kmer_d
+    if d is None:
+        d = min(12, max(0, int(np.log(max(n, 2)) / np.log(4))))
+    depths = sorted({dd for dd in (4, 8, d) if 0 < dd <= d})
+    s = config.occ_step
+    want_occk = bool(s and depths and text_len >= s and depths[-1] >= s)
 
-    # L2: checkpointed Occ + packed BWT, interleaved into the record.
-    # Fast path: one-pass C++ assembly (csrc/pack.cc); the NumPy path
-    # below is the reference implementation (tests assert equality).
-    native = None if force_numpy else sais.build_lattice_native(
-        bwt_sym, sa, config.sa_rate, text_codes
+    # L1+L2 fused fast path (csrc/pack.cc bwtpu_build_shard): BWT,
+    # C counts, search lattice, ssa, packed text AND the raw multi-step
+    # lattice in ONE pass over `sa` — the separate NumPy passes (BWT
+    # gather, preceding-s-mer gathers, bincounts) each missed cache on
+    # the same rows and dominated the build (docs/DESIGN.md "index
+    # build pass, round 3"). The NumPy path below is the reference
+    # implementation (tests assert equality).
+    occk_lattice = None
+    occk_invalid = None
+    fused = None if force_numpy else sais.build_shard_native(
+        symbols, sa, config.sa_rate, s if want_occk else 0
     )
     n_blocks = (n + BLOCK - 1) // BLOCK
-    if native is not None:
-        lattice, ssa, text_packed = native
+    if fused is not None:
+        (lattice, ssa, text_packed, occk_lattice, occk_invalid,
+         counts5, dollar_row) = fused
         mark_rank_ck = lattice[:, MARK_RANK_WORD].astype(np.int64)
+        C = np.zeros(8, dtype=np.int64)
+        C[1:5] = np.cumsum(counts5)[:4]
+        C = C.astype(np.int32)
     else:
+        bwt_sym = symbols[(sa - 1) % n]  # 0..4, exactly one 0 ('$')
+        dollar_row = int(np.nonzero(bwt_sym == 0)[0][0])
+
+        # L2: C table over the 5-symbol alphabet.
+        counts5 = np.bincount(bwt_sym, minlength=5)
+        C = np.zeros(8, dtype=np.int64)
+        C[1:5] = np.cumsum(counts5)[:4]
+        C = C.astype(np.int32)
         bwt_codes = bwt_sym.astype(np.int64) - 1
         bwt_codes[dollar_row] = 0  # '$' stored as code 0, corrected at query
         padded = np.zeros(n_blocks * BLOCK, dtype=np.int64)
@@ -234,55 +259,84 @@ def build_fm_index(
         text_packed = pack_2bit(text_codes)
 
     # k-mer start table (docs/DESIGN.md): for every d-mer c, the SA
-    # interval of suffixes starting with c. Exact construction from the
-    # suffix array: give each suffix a base-5 key of its first d symbols
-    # ($=0 < A=1 < ... — shorter suffixes pad with 0) — keys are
-    # non-decreasing in SA order — then binary-search the 4^d ACGT-only
-    # keys. One device gather then replaces d chained search steps.
-    d = config.kmer_d
-    if d is None:
-        d = min(12, max(0, int(np.log(max(n, 2)) / np.log(4))))
-
-    # Ladder of start tables at bucket depths so short patterns (seeds,
-    # short reads) also start from a table lookup without losing the
-    # suffixes-shorter-than-d corner cases (each depth gets its own
-    # exact table; sizes 256 B .. 4^d * 8 B). Suffix keys are computed
-    # ONCE at max depth; shallower keys are the integer quotient
-    # (order-preserving), saving the per-depth gather passes.
-    depths = sorted({dd for dd in (4, 8, d) if 0 < dd <= d})
+    # interval of suffixes starting with c — built as a LADDER of
+    # depths so short patterns (seeds, short reads) also start from a
+    # table lookup (each depth gets its own exact table; sizes 256 B ..
+    # 4^d * 8 B). One device gather then replaces d chained steps.
+    #
+    # Construction: give each suffix a base-5 key of its first d
+    # symbols ($=0 < A=1 < ... — shorter suffixes pad with 0); keys are
+    # non-decreasing in SA order, so interval bounds are counts of keys
+    # below a query value. Fast path: those counts come from prefix
+    # sums of a TEXT-ORDER key histogram (csrc/pack.cc bwtpu_key_hist —
+    # a histogram is order-independent), so no key is ever gathered
+    # into SA order and nothing is binary-searched; the two passes
+    # dominated the NumPy builder (docs/DESIGN.md "index build pass,
+    # round 3"). NumPy fallback: explicit SA-ordered keys +
+    # searchsorted (the reference formulation; tests assert equality).
     kmer_tables = {}
+    kS = None  # Ks[t] for the multi-step lattice, from the same keys
     if depths:
         dmax = depths[-1]
-        sym_padded = np.zeros(n + dmax, dtype=np.int64)
-        sym_padded[:n] = symbols
-        # text-ordered keys via SEQUENTIAL shifted slices (the naive
-        # per-digit formulation does dmax random 11 M-element gathers —
-        # cache-miss bound, ~14 s/shard measured), then ONE gather into
-        # suffix-array order.
-        tkey = np.zeros(n, dtype=np.int64)
-        for i in range(dmax):
-            tkey += sym_padded[i : i + n] * 5 ** (dmax - 1 - i)
-        key = tkey[sa]
-        for depth in depths:
-            kd = key // (5 ** (dmax - depth)) if depth != dmax else key
+
+        def qkeys(depth: int) -> np.ndarray:
+            """Base-5 keys of all 4^depth ACGT-only d-mers, ascending."""
+            digits = np.arange(4**depth, dtype=np.int64)
             qk = np.zeros(4**depth, dtype=np.int64)
             for i in range(depth):
-                digit = (
-                    np.arange(4**depth, dtype=np.int64) >> (2 * (depth - 1 - i))
-                ) & 3
-                qk = qk * 5 + digit + 1
-            lo = np.searchsorted(kd, qk, side="left")
-            hi = np.searchsorted(kd, qk, side="right")
-            kmer_tables[depth] = np.stack([lo, hi], axis=1).astype(np.int32)
+                qk = qk * 5 + ((digits >> (2 * (depth - 1 - i))) & 3) + 1
+            return qk
+
+        hist = None if force_numpy else sais.key_hist_native(symbols, dmax)
+        if hist is not None:
+            # in-place exclusive-of-nothing cumsum: cum[v] = number of
+            # suffix keys <= v (counts total n < 2^31, fits int32)
+            cum = hist.view(np.int32)
+            np.cumsum(cum, out=cum)
+
+            def count_below(v: np.ndarray) -> np.ndarray:
+                """Number of suffix keys < v (v in [0, 5^dmax])."""
+                v = np.asarray(v, dtype=np.int64)
+                return np.where(v > 0, cum[np.maximum(v, 1) - 1], 0)
+
+            for depth in depths:
+                scale = 5 ** (dmax - depth)
+                qk = qkeys(depth)
+                lo = count_below(qk * scale)
+                hi = count_below((qk + 1) * scale)
+                kmer_tables[depth] = np.stack([lo, hi], axis=1).astype(np.int32)
+            if want_occk:
+                kS = count_below(qkeys(s) * (5 ** (dmax - s)))
+            del hist, cum
+        else:
+            sym_padded = np.zeros(n + dmax, dtype=np.int64)
+            sym_padded[:n] = symbols
+            # text-ordered keys via SEQUENTIAL shifted slices (the naive
+            # per-digit formulation does dmax random gathers), then ONE
+            # gather into suffix-array order.
+            tkey = np.zeros(n, dtype=np.int64)
+            for i in range(dmax):
+                tkey += sym_padded[i : i + n] * 5 ** (dmax - 1 - i)
+            key = tkey[sa]
+            for depth in depths:
+                kd = key // (5 ** (dmax - depth)) if depth != dmax else key
+                qk = qkeys(depth)
+                lo = np.searchsorted(kd, qk, side="left")
+                hi = np.searchsorted(kd, qk, side="right")
+                kmer_tables[depth] = np.stack([lo, hi], axis=1).astype(np.int32)
+            if want_occk:
+                keyS = key // (5 ** (dmax - s))
+                kS = np.searchsorted(keyS, qkeys(s), side="left")
 
     # Multi-step Occ lattice (layout documented at OCCK_BLOCK above). Only
     # built when a k-mer start table exists: the multi-step search path
     # requires a table start (a [0, n) initial interval would straggle
-    # immediately).
-    occk_lattice = None
-    occk_invalid = None
-    s = config.occ_step
-    if s and depths and text_len >= s and depths[-1] >= s:
+    # immediately). The fused native pass already emitted the raw
+    # per-block counts and code bytes; only Ks[t] remains to fold in.
+    if want_occk and occk_lattice is not None:
+        A = 4**s
+        occk_lattice[:, :A] += kS.astype(np.int32)[None, :]
+    elif want_occk:
         A = 4**s
         W = OCCK_WIDTH[s]
         R = OCCK_BLOCK[s]
@@ -308,14 +362,6 @@ def build_fm_index(
         ).reshape(n_blocksK, A)
         ckK = np.zeros((n_blocksK + 1, A), dtype=np.int64)
         ckK[1:] = np.cumsum(per_block, axis=0)
-        # Ks[t] = first row whose suffix starts with s-mer t, from the
-        # same SA-ordered suffix keys the start tables use.
-        keyS = key // (5 ** (depths[-1] - s))
-        digits = np.arange(A, dtype=np.int64)
-        qk = np.zeros(A, dtype=np.int64)
-        for i in range(s):
-            qk = qk * 5 + ((digits >> (2 * (s - 1 - i))) & 3) + 1
-        kS = np.searchsorted(keyS, qk, side="left")
         occk_lattice = np.zeros((n_blocksK + 1, W), dtype=np.int32)
         occk_lattice[:, :A] = (kS[None, :] + ckK).astype(np.int32)
         bytesK = paddedK.reshape(n_blocksK, R // 4, 4).astype(np.uint32)
@@ -442,14 +488,18 @@ def plan_shards(total_len: int, n_shards: int, overlap: int) -> ShardManifest:
 
 
 def _build_shard_job(args):
-    genome_part, config, contigs, start = args
+    codes_path, start, length, config, contigs = args
+    # workers slice the shared on-disk code stream; nothing genome-sized
+    # is ever pickled across the process boundary
+    codes = np.memmap(codes_path, dtype=np.uint8, mode="r",
+                      offset=start, shape=(length,))
     return build_fm_index(
-        genome_part, config=config, contigs=contigs, shard_offset=start
+        text_codes=codes, config=config, contigs=contigs, shard_offset=start
     )
 
 
 def build_sharded_index(
-    genome: str,
+    genome: str | np.ndarray,
     n_shards: int,
     config: EngineConfig | None = None,
     contigs: list[Contig] | None = None,
@@ -458,15 +508,27 @@ def build_sharded_index(
 ) -> tuple[list[FMIndex], ShardManifest]:
     """Split the genome into overlapping intervals, one FM-index each.
 
+    genome: string or pre-encoded uint8 base codes. The encoded stream
+    is written ONCE to a temp file; workers memmap their slice, so the
+    parent never holds per-shard genome copies (the round-2 builder
+    materialized every slice up front — ~2x genome RSS — and pickled
+    250 MB strings to workers; VERDICT r2 item 7).
+
     jobs > 1 builds shards in parallel processes (each shard build is
     single-threaded NumPy/SA-IS; human-scale builds are embarrassingly
     parallel across interval shards).
     """
+    import tempfile
+
     config = config or EngineConfig()
-    genome = dna.sanitize_genome(genome)
+    if isinstance(genome, np.ndarray):
+        codes = np.ascontiguousarray(genome, dtype=np.uint8)
+    else:
+        codes = dna.encode(dna.sanitize_genome(genome))
+    total_len = len(codes)
     if contigs is None:
-        contigs = [Contig(name="ref", offset=0, length=len(genome))]
-    manifest = plan_shards(len(genome), n_shards, overlap)
+        contigs = [Contig(name="ref", offset=0, length=total_len)]
+    manifest = plan_shards(total_len, n_shards, overlap)
     manifest.contigs = contigs
     if config.kmer_d is None:
         # pin one depth across shards (auto-depth would differ with
@@ -475,17 +537,30 @@ def build_sharded_index(
         config = config.replace(
             kmer_d=min(12, max(0, int(np.log(min_n) / np.log(4))))
         )
-    work = [
-        (genome[start : start + length], config, contigs, start)
-        for start, length in zip(manifest.starts, manifest.lengths)
-    ]
-    if jobs > 1 and len(work) > 1:
-        import concurrent.futures as cf
+    with tempfile.NamedTemporaryFile(prefix="bwtpu_codes_", delete=False) as f:
+        codes_path = f.name
+    try:
+        codes.tofile(codes_path)
+        del codes
+        work = [
+            (codes_path, start, length, config, contigs)
+            for start, length in zip(manifest.starts, manifest.lengths)
+        ]
+        if jobs > 1 and len(work) > 1:
+            import concurrent.futures as cf
+            import multiprocessing as mp
 
-        with cf.ProcessPoolExecutor(max_workers=min(jobs, len(work))) as ex:
-            shards = list(ex.map(_build_shard_job, work))
-    else:
-        shards = [_build_shard_job(w) for w in work]
+            # spawn, not fork: the parent often has JAX (multithreaded)
+            # already imported, and fork() under threads can deadlock
+            with cf.ProcessPoolExecutor(
+                max_workers=min(jobs, len(work)),
+                mp_context=mp.get_context("spawn"),
+            ) as ex:
+                shards = list(ex.map(_build_shard_job, work))
+        else:
+            shards = [_build_shard_job(w) for w in work]
+    finally:
+        os.unlink(codes_path)
     return shards, manifest
 
 

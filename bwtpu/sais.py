@@ -66,6 +66,28 @@ def _load_native() -> ctypes.CDLL | None:
                 ctypes.c_int64,                   # text_len
                 ctypes.POINTER(ctypes.c_int32),   # text_packed
             ]
+            lib.bwtpu_build_shard.restype = ctypes.c_int64
+            lib.bwtpu_build_shard.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),   # symbols
+                ctypes.POINTER(ctypes.c_int64),   # sa
+                ctypes.c_int64,                   # n
+                ctypes.c_int64,                   # sa_rate
+                ctypes.c_int64,                   # step (0 = no occk)
+                ctypes.POINTER(ctypes.c_int32),   # lattice
+                ctypes.POINTER(ctypes.c_int32),   # ssa
+                ctypes.POINTER(ctypes.c_int32),   # text_packed
+                ctypes.POINTER(ctypes.c_int32),   # occk_lattice (or NULL)
+                ctypes.POINTER(ctypes.c_int32),   # occk_invalid
+                ctypes.POINTER(ctypes.c_int64),   # counts5
+                ctypes.POINTER(ctypes.c_int64),   # dollar_row
+            ]
+            lib.bwtpu_key_hist.restype = ctypes.c_int
+            lib.bwtpu_key_hist.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),   # symbols
+                ctypes.c_int64,                   # n
+                ctypes.c_int64,                   # dmax
+                ctypes.POINTER(ctypes.c_uint32),  # hist (5^dmax, zeroed)
+            ]
             _lib = lib
         except OSError as e:
             log.warning("SA-IS .so load failed (%s); using NumPy fallback", e)
@@ -133,3 +155,77 @@ def build_lattice_native(bwt_sym, sa, sa_rate, text_codes):
     if n_sampled < 0:
         return None
     return lattice, ssa[:n_sampled].copy(), text_packed
+
+
+def build_shard_native(symbols, sa, sa_rate, step):
+    """Fused one-pass shard assembly (csrc/pack.cc bwtpu_build_shard):
+    search lattice + ssa + packed text + raw multi-step Occ lattice (the
+    caller adds Ks[t] to the fold words) + invalid rows + symbol counts
+    + dollar row, all from ONE cache-friendly pass over `sa`. Returns
+    None when the native library is unavailable.
+
+    step == 0 skips the multi-step outputs (occk fields are None)."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    from bwtpu.index import OCCK_BLOCK, OCCK_WIDTH
+
+    n = len(symbols)
+    n_blocks = (n + 127) // 128
+    lattice = np.zeros((n_blocks + 1, 32), dtype=np.int32)
+    ssa = np.zeros(n // sa_rate + 2, dtype=np.int32)
+    text_packed = np.zeros((n - 1 + 15) // 16, dtype=np.int32)
+    if step:
+        R, W = OCCK_BLOCK[step], OCCK_WIDTH[step]
+        n_blocksK = (n + R - 1) // R
+        occk_lattice = np.zeros((n_blocksK + 1, W), dtype=np.int32)
+    else:
+        occk_lattice = np.zeros((1, 1), dtype=np.int32)
+    occk_invalid = np.full(4, -1, dtype=np.int32)
+    counts5 = np.zeros(5, dtype=np.int64)
+    dollar = np.zeros(1, dtype=np.int64)
+    symbols = np.ascontiguousarray(symbols, dtype=np.uint8)
+    sa = np.ascontiguousarray(sa, dtype=np.int64)
+    p_i32 = ctypes.POINTER(ctypes.c_int32)
+    n_sampled = lib.bwtpu_build_shard(
+        symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        sa.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(n),
+        ctypes.c_int64(sa_rate),
+        ctypes.c_int64(step),
+        lattice.ctypes.data_as(p_i32),
+        ssa.ctypes.data_as(p_i32),
+        text_packed.ctypes.data_as(p_i32),
+        occk_lattice.ctypes.data_as(p_i32),
+        occk_invalid.ctypes.data_as(p_i32),
+        counts5.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dollar.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if n_sampled < 0:
+        return None
+    return (
+        lattice, ssa[:n_sampled].copy(), text_packed,
+        occk_lattice if step else None,
+        occk_invalid if step else None,
+        counts5, int(dollar[0]),
+    )
+
+
+def key_hist_native(symbols, dmax) -> np.ndarray | None:
+    """Histogram of the depth-dmax base-5 suffix keys in text order
+    (csrc/pack.cc bwtpu_key_hist); None if native unavailable or
+    dmax > 12 (5^13 bins would be a 4.9 GB allocation)."""
+    lib = _load_native()
+    if lib is None or not (1 <= dmax <= 12):
+        return None
+    symbols = np.ascontiguousarray(symbols, dtype=np.uint8)
+    hist = np.zeros(5**dmax, dtype=np.uint32)
+    rc = lib.bwtpu_key_hist(
+        symbols.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(len(symbols)),
+        ctypes.c_int64(dmax),
+        hist.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    if rc != 0:
+        return None
+    return hist

@@ -139,17 +139,53 @@ def test_sharded_search_union_equals_whole():
 
 
 def test_native_lattice_builder_matches_numpy():
-    """csrc/pack.cc one-pass assembly == NumPy reference, bit for bit."""
+    """csrc/pack.cc fused one-pass assembly (bwtpu_build_shard +
+    bwtpu_key_hist) == NumPy reference, bit for bit — every output:
+    search lattice, ssa, packed text, C, dollar row, the full k-mer
+    table ladder (histogram prefix sums vs searchsorted) and the
+    multi-step Occ lattice with its invalid rows."""
     from bwtpu import sais as _sais
 
     if not _sais.native_available():
         pytest.skip("native library unavailable")
-    for n, seed in ((1000, 1), (4097, 2), (128 * 3, 3)):
+    for n, seed, rate, d in (
+        (1000, 1, 8, None), (4097, 2, 8, 6), (128 * 3, 3, 8, 4),
+        (777, 4, 1, 5), (50, 5, 2, None),
+    ):
         genome = random_genome(n, seed=seed)
-        cfg = EngineConfig(sa_rate=8)
+        cfg = EngineConfig(sa_rate=rate, kmer_d=d)
         a = build_fm_index(genome, cfg)
         b = build_fm_index(genome, cfg, force_numpy=True)
         np.testing.assert_array_equal(a.search_lattice, b.search_lattice)
         np.testing.assert_array_equal(a.ssa, b.ssa)
         np.testing.assert_array_equal(a.text_packed, b.text_packed)
         np.testing.assert_array_equal(a.mark_rank_ck, b.mark_rank_ck)
+        np.testing.assert_array_equal(a.C, b.C)
+        assert a.dollar_row == b.dollar_row
+        assert sorted(a.kmer_tables) == sorted(b.kmer_tables)
+        for dd in a.kmer_tables:
+            np.testing.assert_array_equal(a.kmer_tables[dd], b.kmer_tables[dd])
+        assert (a.occk_lattice is None) == (b.occk_lattice is None)
+        if a.occk_lattice is not None:
+            np.testing.assert_array_equal(a.occk_lattice, b.occk_lattice)
+            np.testing.assert_array_equal(a.occk_invalid, b.occk_invalid)
+
+
+def test_sharded_build_streaming_paths_agree():
+    """build_sharded_index streams memmap slices to workers; string
+    input, pre-encoded codes input, jobs=1 and jobs=2 must all produce
+    identical shards."""
+    from bwtpu import dna
+
+    genome = random_genome(60_000, seed=11)
+    cfg = EngineConfig(sa_rate=4)
+    base, m1 = build_sharded_index(genome, 3, cfg, jobs=1)
+    codes = dna.encode(dna.sanitize_genome(genome))
+    for shards, _m in (
+        build_sharded_index(genome, 3, cfg, jobs=2),
+        build_sharded_index(codes, 3, cfg, jobs=1),
+    ):
+        for a, b in zip(base, shards):
+            np.testing.assert_array_equal(a.search_lattice, b.search_lattice)
+            np.testing.assert_array_equal(a.occk_lattice, b.occk_lattice)
+            assert a.shard_offset == b.shard_offset
