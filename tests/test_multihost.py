@@ -44,6 +44,46 @@ def test_multihost_single_process_end_to_end(tmp_path):
     assert "__filler__" not in open(out_path).read()
 
 
+def test_multihost_mixed_lengths_stay_packed(tmp_path):
+    """A mixed-length stream buckets into per-length packed rounds —
+    no round ever demotes to the ragged ring, and the SAM comes out in
+    INPUT order via the reorder buffer (VERDICT r2 next #8: the round-2
+    design demoted the whole run on one odd-length read)."""
+    genome = random_genome(6000, seed=41)
+    cfg = EngineConfig(sa_rate=8, max_hits=8, max_cand=8, read_len=40)
+    shards, manifest = build_sharded_index(genome, 4, config=cfg, overlap=64)
+    idx_dir = str(tmp_path / "idx")
+    save_index(idx_dir, shards, manifest)
+
+    # 18x 40bp with 5x 24bp interleaved: schedule = 1 round @24 + 3 @40
+    r40, _ = simulate_reads(genome, 18, read_len=40, max_mismatches=1, seed=42)
+    r24, _ = simulate_reads(genome, 5, read_len=24, max_mismatches=1, seed=43)
+    reads = []
+    for i in range(18):
+        reads.append(r40[i])
+        if i % 4 == 0 and i // 4 < 5:
+            reads.append(r24[i // 4])
+    reads_path = str(tmp_path / "mixed.fq")
+    write_fastq(reads_path, reads)
+    out_path = str(tmp_path / "out.sam")
+
+    summary = multihost.main([
+        "--index", idx_dir, "--reads", reads_path, "--out", out_path,
+        "-k", "1", "--batch-size", "8",
+    ])
+    assert summary["rounds"] == 1 + 3
+    assert summary["packed_rounds"] == summary["rounds"]
+    assert summary["dispatches"] == summary["rounds"]
+
+    golden = GoldenFMIndex(genome)
+    exp_path = str(tmp_path / "exp.sam")
+    with open(exp_path, "w") as f:
+        f.write(sam_header(manifest.contigs))
+        emit_sam(reads, [golden.align_read(r.seq, k=1) for r in reads],
+                 manifest.contigs, f, header=False)
+    assert open(out_path).read() == open(exp_path).read()
+
+
 def test_multihost_paired_end_to_end(tmp_path):
     """Paired-end launcher (config 5): filler-padded final batch, SAM
     equality vs golden pairing (VERDICT r1 item 6)."""
@@ -67,10 +107,13 @@ def test_multihost_paired_end_to_end(tmp_path):
     write_fastq(p2, r2)
     out_path = str(tmp_path / "out.sam")
 
-    multihost.main([
+    summary = multihost.main([
         "--index", idx_dir, "--reads", p1, "--paired", p2, "--out", out_path,
         "-k", "1", "--batch-size", "8", "--max-insert", "400",
     ])
+    # equal-length mates stack into ONE ring program per round
+    # (VERDICT r2 next #6: the round-2 launcher dispatched two)
+    assert summary["dispatches"] == summary["rounds"]
 
     golden = GoldenFMIndex(genome)
     exp_path = str(tmp_path / "exp.sam")

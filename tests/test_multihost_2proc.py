@@ -102,6 +102,29 @@ def test_two_process_single_end(world):
     assert merged == _body(tmp / "single.sam")
 
 
+def test_two_process_mixed_lengths(world):
+    """Hosts with DIFFERENT length mixes agree on the pod-wide bucketed
+    schedule (one allgather of length histograms): host 1 has no 24 bp
+    reads and runs filler rounds for that bucket; every round stays on
+    the packed ring (VERDICT r2 next #8)."""
+    tmp, genome, idx_dir = world
+    r40, _ = simulate_reads(genome, 32, read_len=40, max_mismatches=1,
+                            seed=84)
+    r24, _ = simulate_reads(genome, 6, read_len=24, max_mismatches=1,
+                            seed=85)
+    h0_reads = r40[:16] + r24  # mixed
+    h1_reads = r40[16:]        # uniform
+    write_fastq(str(tmp / "m_all.fq"), h0_reads + h1_reads)
+    write_fastq(str(tmp / "m_h0.fq"), h0_reads)
+    write_fastq(str(tmp / "m_h1.fq"), h1_reads)
+
+    _run_hosts(tmp, idx_dir, [tmp / "m_all.fq"], None, "m_single.sam", 1)
+    _run_hosts(tmp, idx_dir, [tmp / "m_h0.fq", tmp / "m_h1.fq"], None,
+               "m_two.sam", 2)
+    merged = _body(tmp / "m_two.sam.h0") + _body(tmp / "m_two.sam.h1")
+    assert merged == _body(tmp / "m_single.sam")
+
+
 def test_two_process_paired(world):
     tmp, genome, idx_dir = world
     pairs, _ = simulate_pairs(genome, 24, read_len=40, insert_mean=200,
