@@ -94,7 +94,7 @@ def hbm_bandwidth(dev) -> float:
 
 
 def gather_model(B2, L, d, step, trips, n_unf, max_loc, nS,
-                 loc_factor, sa_rate):
+                 loc_factor, sa_rate, locv=False):
     """Data-dependent gather (rows, bytes) for one packed compact-path
     batch.
 
@@ -102,13 +102,15 @@ def gather_model(B2, L, d, step, trips, n_unf, max_loc, nS,
       kmer start        B2*nS lanes x 1 row (8 B)
       multi-step probes trips x B2*nS lanes x 1 OCCK record (step 3: 512 B)
       finisher          cap_fix lanes x (slen-d) steps x 2 rows (128 B)
-      locate            cap_loc x 1 row (4 B direct SA | sa_rate x 128 B walk)
-      verify            cap_loc x 2 rows (text window + fused read row)
+      locate+verify     locv fused: cap_loc x 2 rows (locv row carrying
+                        SA value + text window, plus the fused read row)
+                        else: cap_loc x 1 locate row (4 B direct SA |
+                        sa_rate x 128 B walk) + cap_loc x 2 verify rows
     Compacted arrays have STATIC shapes, so traffic is the capacity,
     not the live count; n_unf only gates whether the finisher runs.
     """
     from bwtpu.index import OCCK_WIDTH
-    from bwtpu.kernels.verify2 import window_row_width
+    from bwtpu.kernels.verify2 import locv_row_width, window_row_width
 
     lanes = B2 * nS
     slen = L // nS if nS > 1 else L
@@ -125,14 +127,20 @@ def gather_model(B2, L, d, step, trips, n_unf, max_loc, nS,
         fix_rows = nS * cap_fix * max(slen - d, 0) * 2
         rows += fix_rows
         bytes_ += fix_rows * 128
-    if sa_rate == 1:                        # locate
+    if locv:                                # fused locate+verify row
+        rows += cap_loc
+        bytes_ += cap_loc * locv_row_width(L) * 4
+    elif sa_rate == 1:                      # locate
         rows += cap_loc
         bytes_ += cap_loc * 4
     else:
         rows += cap_loc * sa_rate
         bytes_ += cap_loc * sa_rate * 128
-    rows += cap_loc * 2                     # verify: text row + fused row
-    bytes_ += cap_loc * (window_row_width(L) * 4 + (3 * W + 1) * 4)
+    if not locv:                            # verify text row
+        rows += cap_loc
+        bytes_ += cap_loc * window_row_width(L) * 4
+    rows += cap_loc                         # fused read row
+    bytes_ += cap_loc * (3 * W + 1 + nS) * 4
     return rows, bytes_
 
 
@@ -203,37 +211,56 @@ def main():
     timings["encode_upload_s"] = round(time.time() - t0, 1)
 
     # --- exact (config 1) ---
+    # min_trips=1 + loc_factor=0.75: one guaranteed multi-step trip
+    # divides false candidates 4^3-fold, leaving measured occupancy
+    # 0.45 of a 0.75*B2 cap with ZERO overflow. The round-2 bench ran
+    # min_trips=0 / loc_factor=1, which overflowed the compaction by
+    # ~250 K candidates per batch WITHOUT FETCHING THE COUNTER — a
+    # silently lossy configuration (occupancy probe, round 3); the
+    # numbers below are from a loss-free config and the overflow
+    # counters now ride the same fetch as the outputs.
+    mt = 1
+    exact_lf = 0.75
     d = pick_kmer_depth(depths, L)
-    # loc_factor=1: exact candidates average ~0.6/lane (early stop at
-    # width <= max_hits), so the B2-lane compaction cap is 60% idle
-    # already; overflow is counted, never silent
     fx = jax.jit(functools.partial(
         exact_pipeline_packed, L=L, d=d, max_hits=cfg.max_hits,
-        sa_rate=cfg.sa_rate, loc_factor=1, backend=backend,
-        compact_output=True))
+        sa_rate=cfg.sa_rate, loc_factor=exact_lf, min_trips=mt,
+        backend=backend, compact_output=True))
     np.asarray(fx(shard0, *encs[0])[0])
     exact_rps = 0.0
+    exact_over = 0
     for _ in range(2):  # best-of-2: the relay sporadically stalls for tens of s
         t0 = time.time()
         outs = [fx(shard0, *e) for e in encs]
         for o in outs:
             np.asarray(o[0][:64])
         exact_rps = max(exact_rps, B * n_batches / (time.time() - t0))
+        exact_over = max(
+            exact_over,
+            sum(int(np.asarray(o[5])) + int((np.asarray(o[4]) > 0).sum())
+                for o in outs),
+        )
 
     # --- inexact k=2 (config 2) ---
     d_seed = pick_kmer_depth(depths, L // 3)
     fi = jax.jit(functools.partial(
         inexact_pipeline_packed, L=L, k=2, d=d_seed, max_loc=cfg.max_cand,
-        sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor, backend=backend,
-        compact_output=True))
+        sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor, min_trips=mt,
+        backend=backend, compact_output=True))
     np.asarray(fi(shard0, *encs[0])[1])
     k2_rps = 0.0
+    k2_over = 0
     for _ in range(2):
         t0 = time.time()
         outs = [fi(shard0, *e) for e in encs]
         for o in outs:
             np.asarray(o[1][:64])
         k2_rps = max(k2_rps, B * n_batches / (time.time() - t0))
+        k2_over = max(
+            k2_over,
+            sum(int(np.asarray(o[5])) + int((np.asarray(o[4]) > 0).sum())
+                for o in outs),
+        )
 
     # --- end-to-end FASTQ -> SAM (production path, VERDICT r2 item 1) ---
     # The device numbers above exclude parse/upload/assembly/emission;
@@ -263,10 +290,11 @@ def main():
                 f.write(f"@{r.rid}.{i}\n{r.seq}\n+\n{'I' * L}\n")
     timings["e2e_setup_s"] = round(time.time() - t0, 1)
     # flagship e2e config: min_trips=1 thins false candidates 4^3-fold
-    # (no compaction overflow at bench scale, verified), hit_factor
-    # sizes the one-round-trip hit buffer for the ~27 MB/s relay D2H
+    # (no compaction overflow at bench scale — occupancy 0.45 of the
+    # 0.75*B2 cap, round-3 probe), hit_factor sizes the one-round-trip
+    # hit buffer for the ~27 MB/s relay D2H
     eng = Engine([_dc.replace(idx, config=cfg.replace(
-        loc_factor=1, k=0, min_trips=1, hit_factor=0.5))])
+        loc_factor=0.75, k=0, min_trips=1, hit_factor=0.5))])
     ctable = ContigTable.build(idx.contigs)
     warm = read_fastq_block(fq_path)
     eng.finish_block(eng.dispatch_block(warm.slice(0, B), 0, pad_to=B))
@@ -318,23 +346,25 @@ def main():
     *_, trips, n_unf = search_early_stop_packed(
         shard0.lattice, shard0.latk, shard0.latk_inv, shard0.C,
         shard0.dollar_row, shard0.kmer_tables[d], rw2, ab2, 0, L, d,
-        step, cfg.max_hits, with_stats=True)
+        step, cfg.max_hits, mt, with_stats=True)
     trips, n_unf = int(trips), int(n_unf)
+    locv_on = dev.shard.locv.shape[-1] > 1
     ex_rows, ex_bytes = gather_model(
-        B2, L, d, step, trips, n_unf, cfg.max_hits, 1, 1, cfg.sa_rate)
+        B2, L, d, step, trips, n_unf, cfg.max_hits, 1, exact_lf,
+        cfg.sa_rate, locv=locv_on)
     sol_exact_rps = 1.0 / (ex_rows / B * ns_per_row * 1e-9)
     trips_k2 = n_unf_k2 = 0
     for off, slen in seed_layout(L, 3):
         *_, t_s, u_s = search_early_stop_packed(
             shard0.lattice, shard0.latk, shard0.latk_inv, shard0.C,
             shard0.dollar_row, shard0.kmer_tables[d_seed],
-            rw2, ab2, off, slen, d_seed, step, cfg.max_cand,
+            rw2, ab2, off, slen, d_seed, step, cfg.max_cand, mt,
             with_stats=True)
         trips_k2 += int(t_s)
         n_unf_k2 += int(u_s)
     k2_rows, k2_bytes = gather_model(
         B2, L, d_seed, step, trips_k2, n_unf_k2, cfg.max_cand, 3,
-        cfg.loc_factor, cfg.sa_rate)
+        cfg.loc_factor, cfg.sa_rate, locv=locv_on)
     sol_k2_rps = 1.0 / (k2_rows / B * ns_per_row * 1e-9)
 
     # --- CPU reference (golden, interpreted walks) on a sample ---
@@ -364,6 +394,10 @@ def main():
             "e2e_sam_mb": round(sam_mb, 1),
             "e2e_overflows": int(e2e_over),
             "k2_reads_per_s": round(k2_rps, 1),
+            "exact_overflow": exact_over,
+            "k2_overflow": k2_over,
+            "min_trips": mt,
+            "exact_loc_factor": exact_lf,
             "cpu_ref_exact_reads_per_s": round(cpu_exact_rps, 2),
             "cpu_ref_k2_reads_per_s": round(cpu_k2_rps, 2),
             "k2_vs_baseline": round(k2_rps / cpu_k2_rps, 1),

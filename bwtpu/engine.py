@@ -55,7 +55,7 @@ from bwtpu.kernels.searchk import (backward_searchk_uniform,
                                    search_early_stop_packed,
                                    search_early_stop_uniform)
 from bwtpu.kernels.verify2 import (NM_INVALID, build_text_rows, pack_reads,
-                                   verify_packed)
+                                   verify_packed, verify_packed_locv)
 from bwtpu.kernels.verify import seed_layout
 
 log = logging.getLogger(__name__)
@@ -95,6 +95,8 @@ class Shard(NamedTuple):
     n: jnp.ndarray  # int32
     text_len: jnp.ndarray  # int32
     text_rows: jnp.ndarray  # int32[n_words(max), R] stride-1 windows
+    locv: jnp.ndarray  # int32[n(max), 1+2W+1] fused locate+verify rows
+    #                    (sa_rate == 1 only); (1, 1) dummy = absent
     kmer_tables: dict  # {depth: int32[4^depth, 2]}
 
 
@@ -108,14 +110,28 @@ class DeviceIndexSet:
         return self.shard.lattice.shape[0]
 
 
+LOCV_MAX_BYTES = 4 << 30  # fused locate+verify table HBM budget
+
+
 def upload_index(
     shards: list[FMIndex], device=None, read_len: int | None = None,
-    sharding_fn=None,
+    sharding_fn=None, locv: bool | None = None,
 ) -> DeviceIndexSet:
     """Stack shards (padded to common shapes) and place on device.
 
     sharding_fn(extra_dims) -> sharding for jax.device_put, used by the
     distributed engine; defaults to single-device placement.
+
+    locv: build the fused locate+verify row table (one gather = SA
+    value + verify window; kernels/verify2.build_locv_rows). None =
+    auto: on when sa_rate == 1, the multi-step lattice is present and
+    the table fits LOCV_MAX_BYTES across shards. A/B at E. coli bench
+    scale measured 41.6 vs 43.7 ms/batch (+5% on): the single ~35
+    ns/row gather from the 295 MB table beats the ssa element take +
+    text-row take it replaces by ~2 ms (docs/DESIGN.md "gather cost vs
+    table size" — gathers get slower as tables leave cache, which is
+    why the win is modest rather than the 2-rows-for-3 the row model
+    predicts).
     """
     read_len = read_len or shards[0].config.read_len
 
@@ -143,6 +159,24 @@ def upload_index(
     else:
         latk = np.zeros((len(shards), 1, 1), dtype=np.int32)
         latk_inv = np.full((len(shards), 4), -1, dtype=np.int32)
+    from bwtpu.kernels.verify2 import build_locv_rows, locv_row_width
+
+    if locv is None:
+        locv = (
+            shards[0].config.sa_rate == 1
+            and latk.shape[-1] > 1
+            and sum(s.n for s in shards) * locv_row_width(read_len) * 4
+            <= LOCV_MAX_BYTES
+        )
+    if locv:
+        if shards[0].config.sa_rate != 1:
+            raise ValueError("locv table requires sa_rate == 1 (ssa must "
+                             "be the full row-ordered suffix array)")
+        locv_arr = pad_stack([
+            build_locv_rows(s.text_packed, s.ssa, read_len) for s in shards
+        ])
+    else:
+        locv_arr = np.zeros((len(shards), 1, 1), dtype=np.int32)
     shard = Shard(
         lattice=put(pad_stack([s.search_lattice for s in shards]), 2),
         latk=put(latk, 2),
@@ -156,6 +190,7 @@ def upload_index(
             pad_stack([build_text_rows(s.text_packed, read_len) for s in shards]),
             2,
         ),
+        locv=put(locv_arr, 2),
         kmer_tables={
             dd: put(np.stack([s.kmer_tables[dd] for s in shards]), 2)
             for dd in depths
@@ -404,23 +439,48 @@ def _inexact_from_intervals(
     sel, count, comp_over = compact_counts(ep - sp, max_loc, cap)
     sel_valid = jnp.arange(cap, dtype=jnp.int32) < count
     rows_c = jnp.take(rows.reshape(-1), sel)
-    spos_c = locate_rows(
-        shard.lattice, shard.ssa, shard.C, shard.dollar_row,
-        rows_c, sel_valid, sa_rate, backend=backend,
-    )
     lane = sel // max_loc  # seed-lane id (= read_row * nS + seed_slot)
-    cand_c = spos_c - jnp.take(enc_seed_off, lane)
     b_idx = lane // nS
     W = read_words.shape[1]
+    # seed offsets ride the fused row (one per slot, selected by
+    # one-hot) instead of their own per-candidate element gather —
+    # element takes cost a full row fetch each (docs/DESIGN.md)
     fused = jnp.concatenate(
-        [read_words, amb_bits, len_mask, lens[:, None]], axis=1
+        [read_words, amb_bits, len_mask, lens[:, None],
+         enc_seed_off.reshape(B2, nS)], axis=1
     )
-    fc = jnp.take(fused, b_idx, axis=0)  # (cap, 3W+1)
-    nm_c = verify_packed(
-        shard.text_rows, shard.text_len, cand_c, sel_valid & (spos_c >= 0),
-        fc[:, :W], fc[:, W : 2 * W], fc[:, 2 * W : 3 * W], fc[:, 3 * W],
-        backend=backend,
-    )
+    fc = jnp.take(fused, b_idx, axis=0)  # (cap, 3W+1+nS)
+    if nS > 1:
+        from bwtpu.kernels import common
+
+        off_l = common.select_lane(fc[:, 3 * W + 1 :], lane - b_idx * nS, nS)
+    else:
+        off_l = fc[:, 3 * W + 1]
+    use_locv = sa_rate == 1 and shard.locv.shape[-1] > 1
+    if use_locv:
+        # fused locate+verify: ONE row gather yields SA position AND
+        # the text window (kernels/verify2.build_locv_rows) — replaces
+        # the ssa element gather + the text-row gather (stage
+        # attribution round 3: locate alone was 11.6 ms of 48 ms)
+        rec = jnp.take(shard.locv, rows_c, axis=0)
+        spos_c = jnp.where(sel_valid, rec[:, 0], -1)
+        cand_c = spos_c - off_l
+        nm_c = verify_packed_locv(
+            rec, shard.text_len, cand_c, sel_valid & (spos_c >= 0),
+            fc[:, :W], fc[:, W : 2 * W], fc[:, 2 * W : 3 * W], fc[:, 3 * W],
+        )
+    else:
+        spos_c = locate_rows(
+            shard.lattice, shard.ssa, shard.C, shard.dollar_row,
+            rows_c, sel_valid, sa_rate, backend=backend,
+        )
+        cand_c = spos_c - off_l
+        nm_c = verify_packed(
+            shard.text_rows, shard.text_len, cand_c,
+            sel_valid & (spos_c >= 0),
+            fc[:, :W], fc[:, W : 2 * W], fc[:, 2 * W : 3 * W], fc[:, 3 * W],
+            backend=backend,
+        )
     if compact_output:
         # single-chip fast path: skip the dense scatter_backs entirely
         # (TPU scatter measured ~163 ns/element — docs/DESIGN.md) and

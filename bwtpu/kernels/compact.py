@@ -42,10 +42,16 @@ def compact_counts(counts: jnp.ndarray, H: int, capacity: int):
     Equivalent to ``compact(valid.reshape(-1), capacity)`` when ``valid``
     is the prefix mask ``k < counts[l]`` over int32[Nlanes, H] (the shape
     interval_rows emits) — but skips the 2M-lane cumsum+scatter: the
-    cumsum runs over Nlanes counts, the scatter writes only Nlanes lane
-    ids (measured 29% faster at bench scale, docs/DESIGN.md "Next
-    optimization lead"). Returns (sel, count, overflow) bit-identical to
-    the generic path.
+    cumsum runs over Nlanes counts and the scatter writes only Nlanes
+    values (measured 29% faster at bench scale, docs/DESIGN.md).
+
+    Slot recovery scatters ``base_l = l*H - cum_l`` at each live lane's
+    first slot: sel[i] = cummax(base)[i] + i directly. base is
+    nondecreasing in l (base_{l+1} - base_l = H - c_l >= 0), so one
+    scatter-max + one cummax replace the earlier owner-id scatter PLUS
+    the per-slot ``cum[owner]`` element gather — element gathers cost a
+    full row fetch each on this stack (docs/DESIGN.md gather table;
+    stage attribution round 3). Bit-identical sel/count/overflow.
     """
     c = jnp.clip(counts.astype(jnp.int32), 0, H)
     cum = jnp.cumsum(c) - c  # exclusive prefix: first output slot per lane
@@ -54,13 +60,12 @@ def compact_counts(counts: jnp.ndarray, H: int, capacity: int):
     overflow = jnp.maximum(total - capacity, 0)
     lane_ids = jnp.arange(c.shape[0], dtype=jnp.int32)
     start = jnp.where(c > 0, cum, capacity)  # empty lanes never own a slot
-    owner = jnp.zeros(capacity, dtype=jnp.int32).at[start].max(
-        lane_ids, mode="drop"
+    base = jnp.zeros(capacity, dtype=jnp.int32).at[start].max(
+        lane_ids * H - cum, mode="drop"
     )
-    owner = jax.lax.cummax(owner)
+    base = jax.lax.cummax(base)
     i = jnp.arange(capacity, dtype=jnp.int32)
-    sel = owner * H + (i - jnp.take(cum, owner))
-    sel = jnp.where(i < count, sel, 0)
+    sel = jnp.where(i < count, base + i, 0)
     return sel, count.astype(jnp.int32), overflow.astype(jnp.int32)
 
 

@@ -71,6 +71,84 @@ def pack_reads(codes: np.ndarray, amb: np.ndarray, lens: np.ndarray):
     return to_i32(words), to_i32(amb_bits), to_i32(len_mask)
 
 
+def locv_row_width(read_len: int) -> int:
+    """Words per fused locate+verify row: SA value + a text window wide
+    enough for any candidate start in [SA-read_len, SA] at any phase."""
+    W = (read_len + 15) // 16
+    return 1 + 2 * W + 1
+
+
+def build_locv_rows(text_packed: np.ndarray, ssa_full: np.ndarray,
+                    read_len: int) -> np.ndarray:
+    """Host: fused locate+verify rows for sa_rate == 1 indexes.
+
+    Row r = [SA[r], text words [ws(r), ws(r) + 2W+1)] with
+    ws(r) = clip((SA[r] >> 4) - W, 0, n_words-1): every candidate start
+    cand = SA[r] - rem (0 <= rem < read_len) has its whole read_len
+    window inside the row. One gather of this row then yields BOTH the
+    locate result and the verify window — replacing the ssa element
+    gather AND the text-row gather, each of which costs a full row
+    fetch on this stack (docs/DESIGN.md gather table; stage attribution
+    round 3 measured locate at 11.6 ms of a 48 ms exact batch).
+
+    Trades HBM for gathers: (2W+2)*4 B per SA row (64 B at L=100) —
+    ~295 MB at E. coli scale, ~3 GB at chr21; engine.upload_index gates
+    it by a byte budget and sa_rate == 1 (where ssa IS the suffix
+    array, row-ordered).
+    """
+    W = (read_len + 15) // 16
+    R2 = 2 * W + 1
+    w = text_packed.view(np.int32)
+    nw = len(w)
+    padded = np.concatenate([w, np.zeros(R2, dtype=np.int32)])
+    sw = np.lib.stride_tricks.sliding_window_view(padded, R2)
+    ws = np.clip((ssa_full.astype(np.int64) >> 4) - W, 0, max(nw - 1, 0))
+    out = np.empty((len(ssa_full), 1 + R2), dtype=np.int32)
+    out[:, 0] = ssa_full
+    out[:, 1:] = sw[ws]
+    return out
+
+
+def verify_packed_locv(
+    rec: jnp.ndarray,  # int32[Cc, 1+2W+1] gathered locv rows
+    text_len: jnp.ndarray,  # int32
+    cand: jnp.ndarray,  # int32[Cc] candidate start positions
+    cvalid: jnp.ndarray,  # bool[Cc]
+    read_words: jnp.ndarray,  # int32[Cc, W]
+    amb_bits: jnp.ndarray,  # int32[Cc, W]
+    len_mask: jnp.ndarray,  # int32[Cc, W]
+    lens: jnp.ndarray,  # int32[Cc]
+) -> jnp.ndarray:
+    """verify_packed from pre-gathered locv rows (build_locv_rows): the
+    candidate's window is aligned out of the row by a static log-step
+    word funnel (q <= W word shifts — pure elementwise selects, no
+    gather), then the usual bit-phase shift + XOR/popcount."""
+    W = read_words.shape[1]
+    in_range = cvalid & (cand >= 0) & (cand + lens <= text_len)
+    nw = (text_len + 15) >> 4
+    spos = rec[:, 0]
+    ws = jnp.clip((spos >> 4) - W, 0, jnp.maximum(nw - 1, 0))
+    q = jnp.where(in_range, (cand >> 4) - ws, 0)
+    win = rec[:, 1:].astype(jnp.uint32)
+    b = 1
+    while b <= W:
+        shifted = jnp.concatenate(
+            [win[:, b:], jnp.zeros_like(win[:, :b])], axis=1
+        )
+        win = jnp.where((q[:, None] & b) != 0, shifted, win)
+        b <<= 1
+    pos = jnp.where(in_range, cand, 0)
+    ob = ((pos & 15) * 2).astype(jnp.uint32)[:, None]
+    lo = win[:, :W]
+    hi = win[:, 1 : W + 1]
+    window = (lo >> ob) | jnp.where(ob == 0, jnp.uint32(0), hi << (32 - ob))
+    x = window ^ read_words.astype(jnp.uint32)
+    pair = (x | (x >> 1)) & EVEN
+    pair = (pair | amb_bits.astype(jnp.uint32)) & len_mask.astype(jnp.uint32)
+    nm = jnp.sum(popcount32(pair), axis=1).astype(jnp.int32)
+    return jnp.where(in_range, nm, NM_INVALID)
+
+
 def verify_packed(
     text_rows: jnp.ndarray,  # int32[n_words, R]
     text_len: jnp.ndarray,  # int32

@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--min-trips", type=int, default=0)
     ap.add_argument("--loc-factor", type=float, default=1.0)
     ap.add_argument("--hit-factor", type=float, default=0.5)
+    ap.add_argument("--no-locv", action="store_true",
+                    help="A/B: small-table locate_rows + verify_packed "
+                         "instead of the fused locv row gather")
     args = ap.parse_args()
 
     import jax
@@ -55,10 +58,10 @@ def main():
     from bwtpu.kernels import prep
     from bwtpu.kernels.compact import compact as compact_mask
     from bwtpu.kernels.compact import compact_counts
-    from bwtpu.kernels.locate import locate_rows
     from bwtpu.kernels.search import interval_rows
     from bwtpu.kernels.searchk import search_early_stop_packed
-    from bwtpu.kernels.verify2 import verify_packed
+    from bwtpu.kernels.locate import locate_rows
+    from bwtpu.kernels.verify2 import verify_packed, verify_packed_locv
     from bwtpu.simulate import ECOLI_SCALE, random_genome, simulate_reads
 
     tune_malloc()
@@ -66,8 +69,9 @@ def main():
     cfg = EngineConfig(sa_rate=1, max_hits=4, max_cand=8, read_len=L)
     genome = random_genome(ECOLI_SCALE, seed=1)
     idx = build_fm_index(genome, cfg)
-    dev = upload_index([idx])
+    dev = upload_index([idx], locv=not args.no_locv)
     shard = jax.tree.map(lambda x: x[0], dev.shard)
+    use_locv = not args.no_locv
     d = pick_kmer_depth(sorted(idx.kmer_tables), L)
     step = cfg.occ_step
     B = args.batch
@@ -120,38 +124,52 @@ def main():
         return acc(sel) + count + co
 
     def _locate(sh, rwi, abi):
+        """'locate' = the locv row gather (fused path) or the small-
+        table ssa lookup (--no-locv), matching the engine's branch."""
         rw2, ab2, lens2, lm2, rem, rows, sel, count, co = _compact(
             sh, rwi, abi)
         sel_valid = jnp.arange(cap, dtype=jnp.int32) < count
         rows_c = jnp.take(rows.reshape(-1), sel)
-        spos = locate_rows(sh.lattice, sh.ssa, sh.C, sh.dollar_row,
-                           rows_c, sel_valid, cfg.sa_rate)
-        return (rw2, ab2, lens2, lm2, rem, sel, count, co, sel_valid, spos)
+        if use_locv:
+            rec = jnp.take(sh.locv, rows_c, axis=0)
+            spos = jnp.where(sel_valid, rec[:, 0], -1)
+        else:
+            rec = None
+            spos = locate_rows(sh.lattice, sh.ssa, sh.C, sh.dollar_row,
+                               rows_c, sel_valid, cfg.sa_rate)
+        return (rw2, ab2, lens2, lm2, rem, sel, count, co, sel_valid,
+                rec, spos)
 
     def upto_locate(sh, rwi, abi):
-        *_, spos = _locate(sh, rwi, abi)
+        *_, rec, spos = _locate(sh, rwi, abi)
         return acc(spos)
 
     def _fused(sh, rwi, abi):
-        (rw2, ab2, lens2, lm2, rem, sel, count, co, sel_valid,
+        (rw2, ab2, lens2, lm2, rem, sel, count, co, sel_valid, rec,
          spos) = _locate(sh, rwi, abi)
         lane = sel // H
-        cand = spos - jnp.take(rem, lane)
         W = rw2.shape[1]
         fused = jnp.concatenate(
-            [rw2, ab2, lm2, lens2[:, None]], axis=1)
+            [rw2, ab2, lm2, lens2[:, None], rem[:, None]], axis=1)
         fc = jnp.take(fused, lane, axis=0)
-        return (W, sel, count, co, sel_valid, spos, cand, fc)
+        cand = spos - fc[:, 3 * W + 1]
+        return (W, sel, count, co, sel_valid, rec, spos, cand, fc)
 
     def upto_fused(sh, rwi, abi):
         *_, cand, fc = _fused(sh, rwi, abi)
         return acc(fc) + acc(cand)
 
     def _verify(sh, rwi, abi):
-        W, sel, count, co, sel_valid, spos, cand, fc = _fused(sh, rwi, abi)
-        nm = verify_packed(
-            sh.text_rows, sh.text_len, cand, sel_valid & (spos >= 0),
-            fc[:, :W], fc[:, W:2 * W], fc[:, 2 * W:3 * W], fc[:, 3 * W])
+        (W, sel, count, co, sel_valid, rec, spos, cand, fc) = _fused(
+            sh, rwi, abi)
+        if use_locv:
+            nm = verify_packed_locv(
+                rec, sh.text_len, cand, sel_valid & (spos >= 0),
+                fc[:, :W], fc[:, W:2 * W], fc[:, 2 * W:3 * W], fc[:, 3 * W])
+        else:
+            nm = verify_packed(
+                sh.text_rows, sh.text_len, cand, sel_valid & (spos >= 0),
+                fc[:, :W], fc[:, W:2 * W], fc[:, 2 * W:3 * W], fc[:, 3 * W])
         return sel, count, cand, nm
 
     def upto_verify(sh, rwi, abi):
