@@ -62,8 +62,14 @@ class EngineConfig:
     # while true hits always survive, so the locate/verify compaction
     # cap (loc_factor) can shrink several-fold for ~B cheap probe
     # gathers per trip (docs/DESIGN.md "candidate thinning"). 0 = stop
-    # as soon as the width fits.
-    min_trips: int = 0
+    # as soon as the width fits. Default 1: the round-3 occupancy probe
+    # measured min_trips=0 overflowing a loc_factor=1 compaction by
+    # ~250 K candidates per 262 K-read batch (k=2: 1.39 M at
+    # loc_factor=2), while one guaranteed trip costs ~B cheap probe
+    # gathers and leaves 0.45/0.67 occupancy with zero overflow.
+    # Results are min_trips-invariant (the verify decides; pinned by
+    # tests/test_compact_path.py thinning parity).
+    min_trips: int = 1
     # Verified-hit output capacity factor: the one-round-trip hits
     # output (engine._packed_fn hits_output) returns at most
     # max(hit_factor * batch_rows, 4096) hits per shard per batch.
