@@ -273,7 +273,7 @@ def main():
 
     from bwtpu.engine import Engine
     from bwtpu.io import write_fastq
-    from bwtpu.readblock import read_fastq_block
+    from bwtpu.readblock import read_fastq_block, read_fastq_stream
     from bwtpu.results import ContigTable, select_primary_flat
     from bwtpu.sam import sam_header
     from bwtpu.samfast import emit_single
@@ -309,8 +309,12 @@ def main():
 
     sam_path = _os.path.join(e2e_dir, "out.sam")
     t0 = time.time()
-    blk = read_fastq_block(fq_path)
-    n_reads_e2e = blk.n
+    # chunked prefetching parse (readblock.read_fastq_stream): chunk
+    # k+1 parses on a background thread while chunk k dispatches /
+    # assembles / writes — on this 2-core ~190 MB/s/core host the
+    # parse is otherwise a serial memory-bound prefix of the wall
+    # (docs/DESIGN.md "e2e host roofline")
+    n_reads_e2e = 0
     with open(sam_path, "wb") as out:
         out.write(sam_header(idx.contigs).encode())
         inflight = []
@@ -320,8 +324,9 @@ def main():
             flat, prim = fut.result()
             out.write(emit_single(sub, prim, ctable))
 
-        for i in range(0, blk.n, B):
-            sub = blk.slice(i, i + B)
+        _n_total, _L_s, stream = read_fastq_stream(fq_path, B)
+        for sub in stream:
+            n_reads_e2e += sub.n
             h = eng.dispatch_block(sub, 0, pad_to=B)
             inflight.append((sub, ex.submit(process, h)))
             if len(inflight) > 2:

@@ -109,9 +109,21 @@ def _upper(a: np.ndarray) -> np.ndarray:
     return np.where((a >= 97) & (a <= 122), a - 32, a)
 
 
-def _native_parse(data: np.ndarray) -> ReadBlock | None:
-    """csrc/fastq.cc single-pass parse + 2-bit pack (None -> fall back)."""
+_SCAN_STRIDE = 8192  # records per resume checkpoint (see fastq.cc)
+
+
+def _native_parse(data: np.ndarray, threads: int | None = None
+                  ) -> ReadBlock | None:
+    """csrc/fastq.cc parse + 2-bit pack (None -> fall back).
+
+    The scan pass samples resume checkpoints every _SCAN_STRIDE
+    records; the fill pass then runs as `threads` disjoint
+    bwtpu_fastq_parse_range calls on Python threads (ctypes releases
+    the GIL), splitting the memory-bound work across cores — this host
+    moves ~190 MB/s/core (docs/DESIGN.md "e2e host roofline"), so the
+    parse wall halves with the second core."""
     import ctypes
+    import os
 
     from bwtpu import sais
 
@@ -125,13 +137,18 @@ def _native_parse(data: np.ndarray) -> ReadBlock | None:
     n = ctypes.c_int64(0)
     L = ctypes.c_int32(0)
     idb = ctypes.c_int64(0)
+    nsamp = ctypes.c_int64(0)
+    cap = int(data.size // (8 * _SCAN_STRIDE)) + 2
+    samples = np.zeros((cap, 3), dtype=np.int64)
     rc = lib.bwtpu_fastq_scan(
         data.ctypes.data_as(u8), ctypes.c_int64(data.size),
         ctypes.byref(n), ctypes.byref(L), ctypes.byref(idb),
+        ctypes.c_int64(_SCAN_STRIDE), samples.ctypes.data_as(i64),
+        ctypes.c_int64(cap), ctypes.byref(nsamp),
     )
     if rc != 0:
         return None
-    n, L, idb = n.value, L.value, idb.value
+    n, L, idb, nsamp = n.value, L.value, idb.value, nsamp.value
     W = (L + 15) // 16
     seq = np.empty((n, L), dtype=np.uint8)
     qual = np.empty((n, L), dtype=np.uint8)
@@ -139,14 +156,38 @@ def _native_parse(data: np.ndarray) -> ReadBlock | None:
     id_off = np.empty(n + 1, dtype=np.int64)
     words = np.empty((n, W), dtype=np.int32)
     amb = np.empty((n, W), dtype=np.int32)
-    rc = lib.bwtpu_fastq_parse(
-        data.ctypes.data_as(u8), ctypes.c_int64(data.size),
-        ctypes.c_int64(n), ctypes.c_int32(L),
-        seq.ctypes.data_as(u8), qual.ctypes.data_as(u8),
-        id_blob.ctypes.data_as(u8), id_off.ctypes.data_as(i64),
-        words.ctypes.data_as(i32), amb.ctypes.data_as(i32),
-    )
-    if rc != 0:
+
+    T = threads if threads is not None else min(2, os.cpu_count() or 1)
+    # range starts must sit on scan checkpoints; pick ~evenly spaced ones
+    if T > 1 and nsamp > 1:
+        picks = sorted({int(t * nsamp // T) for t in range(T)})
+        bounds = [tuple(samples[k]) for k in picks]  # (rec, byte, idb)
+    else:
+        bounds = [(0, 0, 0)]
+    bounds.append((n, data.size, idb))
+
+    def parse_range(k):
+        rec0, byte0, idb0 = bounds[k]
+        n_k = bounds[k + 1][0] - rec0
+        id_off[rec0] = idb0
+        return lib.bwtpu_fastq_parse_range(
+            data.ctypes.data_as(u8), ctypes.c_int64(data.size),
+            ctypes.c_int64(int(rec0)), ctypes.c_int64(int(byte0)),
+            ctypes.c_int64(int(idb0)), ctypes.c_int64(int(n_k)),
+            ctypes.c_int32(L),
+            seq.ctypes.data_as(u8), qual.ctypes.data_as(u8),
+            id_blob.ctypes.data_as(u8), id_off.ctypes.data_as(i64),
+            words.ctypes.data_as(i32), amb.ctypes.data_as(i32),
+        )
+
+    if len(bounds) > 2:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(len(bounds) - 1) as ex:
+            rcs = list(ex.map(parse_range, range(len(bounds) - 1)))
+    else:
+        rcs = [parse_range(0)]
+    if any(r != 0 for r in rcs):
         return None
     return ReadBlock(
         n=n, L=L, id_blob=id_blob[:idb], id_off=id_off, seq=seq, qual=qual,
@@ -160,12 +201,7 @@ def read_fastq_block(path: str) -> ReadBlock | None:
     NumPy otherwise). Returns None when the file does not fit the
     fast-path shape (caller falls back to io.read_fastq, whose output
     is byte-equivalent)."""
-    if str(path).endswith(".gz"):
-        with open(path, "rb") as f:
-            raw = gzip.decompress(f.read())
-        data = np.frombuffer(raw, dtype=np.uint8)
-    else:
-        data = np.fromfile(path, dtype=np.uint8)
+    data = _load_bytes(path)
     if data.size == 0:
         return None
     blk = _native_parse(data)
@@ -216,6 +252,113 @@ def read_fastq_block(path: str) -> ReadBlock | None:
     pos_in_id = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], idlen)
     id_blob = data[np.repeat(hs, idlen) + pos_in_id]
     return ReadBlock(n=n, L=L, id_blob=id_blob, id_off=off, seq=seq, qual=qual)
+
+
+def _load_bytes(path: str) -> np.ndarray:
+    if str(path).endswith(".gz"):
+        with open(path, "rb") as f:
+            raw = gzip.decompress(f.read())
+        return np.frombuffer(raw, dtype=np.uint8)
+    return np.fromfile(path, dtype=np.uint8)
+
+
+def read_fastq_stream(path: str, chunk: int, start: int = 0):
+    """(n_reads, L, iterator of ReadBlocks of `chunk` records each,
+    last one partial) — or None if the file does not fit the fast-path
+    shape. `start` skips the first `start` chunks WITHOUT parsing them
+    (checkpointed resume, cli.py --resume).
+
+    One cheap scan pass records a resume checkpoint every `chunk`
+    records; each chunk is then parsed independently
+    (bwtpu_fastq_parse_range) ONE CHUNK AHEAD on a background thread,
+    so the memory-bound parse overlaps whatever the consumer does with
+    the previous chunk (dispatch, hit assembly, SAM write) — on this
+    2-core ~190 MB/s/core host that overlap is most of the end-to-end
+    win (docs/DESIGN.md "e2e host roofline")."""
+    import ctypes
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bwtpu import sais
+
+    lib = sais._load_native()
+    data = _load_bytes(path)
+    if data.size == 0:
+        return None
+    if lib is None or not hasattr(lib, "bwtpu_fastq_scan"):
+        blk = read_fastq_block(path)
+        if blk is None:
+            return None
+
+        def fallback():
+            for lo in range(start * chunk, blk.n, chunk):
+                yield blk.slice(lo, lo + chunk)
+
+        return blk.n, blk.L, fallback()
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    u8 = ctypes.POINTER(ctypes.c_uint8)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    n = ctypes.c_int64(0)
+    L = ctypes.c_int32(0)
+    idb = ctypes.c_int64(0)
+    nsamp = ctypes.c_int64(0)
+    cap = int(data.size // (8 * chunk)) + 2
+    samples = np.zeros((cap, 3), dtype=np.int64)
+    rc = lib.bwtpu_fastq_scan(
+        data.ctypes.data_as(u8), ctypes.c_int64(data.size),
+        ctypes.byref(n), ctypes.byref(L), ctypes.byref(idb),
+        ctypes.c_int64(chunk), samples.ctypes.data_as(i64),
+        ctypes.c_int64(cap), ctypes.byref(nsamp),
+    )
+    if rc != 0:
+        return None
+    n, L, idb, nsamp = n.value, L.value, idb.value, nsamp.value
+    W = (L + 15) // 16
+    bounds = [tuple(samples[k]) for k in range(nsamp)]
+    bounds.append((n, data.size, idb))
+
+    def parse_chunk(k):
+        rec0, byte0, idb0 = bounds[k]
+        n_k = int(bounds[k + 1][0] - rec0)
+        idb_k = int(bounds[k + 1][2] - idb0)
+        seq = np.empty((n_k, L), dtype=np.uint8)
+        qual = np.empty((n_k, L), dtype=np.uint8)
+        id_blob = np.empty(max(idb_k, 1), dtype=np.uint8)
+        id_off = np.empty(n_k + 1, dtype=np.int64)
+        id_off[0] = 0
+        words = np.empty((n_k, W), dtype=np.int32)
+        amb = np.empty((n_k, W), dtype=np.int32)
+        # rec0=0 / idb0=0: outputs are chunk-local; only the byte
+        # cursor resumes mid-file
+        rc = lib.bwtpu_fastq_parse_range(
+            data.ctypes.data_as(u8), ctypes.c_int64(data.size),
+            ctypes.c_int64(0), ctypes.c_int64(int(byte0)),
+            ctypes.c_int64(0), ctypes.c_int64(n_k), ctypes.c_int32(L),
+            seq.ctypes.data_as(u8), qual.ctypes.data_as(u8),
+            id_blob.ctypes.data_as(u8), id_off.ctypes.data_as(i64),
+            words.ctypes.data_as(i32), amb.ctypes.data_as(i32),
+        )
+        if rc != 0:
+            raise ValueError(f"fastq chunk {k} failed to parse (rc={rc})")
+        return ReadBlock(n=n_k, L=L, id_blob=id_blob[:idb_k],
+                         id_off=id_off, seq=seq, qual=qual,
+                         words=words, amb=amb)
+
+    def gen():
+        if start >= len(bounds) - 1:
+            return
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
+            nxt = ex.submit(parse_chunk, start)
+            for k in range(start, len(bounds) - 1):
+                blk = nxt.result()
+                if k + 1 < len(bounds) - 1:
+                    nxt = ex.submit(parse_chunk, k + 1)
+                yield blk
+        finally:
+            ex.shutdown(wait=False)
+
+    return n, L, gen()
 
 
 def encode_block(block: ReadBlock) -> tuple[np.ndarray, np.ndarray]:

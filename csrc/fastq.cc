@@ -67,11 +67,29 @@ extern "C" {
 
 // Pass 1: count records, detect uniform length, sum id bytes.
 // rc 0 = fast-path OK; -1 = not 4-line/uniform/valid (caller falls back)
+//
+// Every `stride` records (when stride > 0 and samples != null), the
+// scanner records (record index, byte offset, id bytes so far) into
+// samples[3 * k] — checkpoint state from which bwtpu_fastq_parse_range
+// can resume mid-file, so the fill pass splits across threads (ctypes
+// releases the GIL, so plain Python threads parallelize it).
+// sample_cap caps k; out_n_samples reports how many were written.
 int bwtpu_fastq_scan(const uint8_t* data, int64_t size, int64_t* out_n,
-                     int32_t* out_L, int64_t* out_id_bytes) {
+                     int32_t* out_L, int64_t* out_id_bytes,
+                     int64_t stride, int64_t* samples, int64_t sample_cap,
+                     int64_t* out_n_samples) {
     int64_t cur = 0, s, e, n = 0, idb = 0;
     int64_t L = -1;
-    while (next_line(data, size, cur, s, e)) {
+    int64_t ns = 0;
+    while (true) {
+        if (stride > 0 && samples != nullptr && n % stride == 0 &&
+            ns < sample_cap && cur < size) {
+            samples[3 * ns] = n;
+            samples[3 * ns + 1] = cur;
+            samples[3 * ns + 2] = idb;
+            ++ns;
+        }
+        if (!next_line(data, size, cur, s, e)) break;
         if (e == s && cur >= size) break;  // trailing blank line
         if (e == s || data[s] != '@') return -1;
         int64_t hlen = e - s - 1;
@@ -98,18 +116,30 @@ int bwtpu_fastq_scan(const uint8_t* data, int64_t size, int64_t* out_n,
     *out_n = n;
     *out_L = int32_t(L);
     *out_id_bytes = idb;
+    if (out_n_samples != nullptr) *out_n_samples = ns;
     return 0;
 }
 
-// Pass 2: fill caller-allocated outputs (sizes from bwtpu_fastq_scan).
-int bwtpu_fastq_parse(const uint8_t* data, int64_t size, int64_t n,
-                      int32_t L, uint8_t* seq, uint8_t* qual,
-                      uint8_t* id_blob, int64_t* id_off,
-                      int32_t* read_words, int32_t* amb_bits) {
+// Pass 2 (range form): fill records [rec0, rec0 + n) of the GLOBAL
+// caller-allocated outputs, resuming the parse at byte offset byte0
+// with id-blob cursor idb0 — the checkpoint triple bwtpu_fastq_scan
+// sampled. id_off[rec0] must already be set by the caller; this fills
+// id_off[rec0 + 1 .. rec0 + n]. Ranges are disjoint, so threads fill
+// concurrently without synchronization.
+int bwtpu_fastq_parse_range(const uint8_t* data, int64_t size,
+                            int64_t rec0, int64_t byte0, int64_t idb0,
+                            int64_t n, int32_t L, uint8_t* seq,
+                            uint8_t* qual, uint8_t* id_blob,
+                            int64_t* id_off, int32_t* read_words,
+                            int32_t* amb_bits) {
     const int32_t W = (L + 15) / 16;
-    int64_t cur = 0, s, e;
-    int64_t idp = 0;
-    id_off[0] = 0;
+    int64_t cur = byte0, s, e;
+    int64_t idp = idb0;
+    seq += rec0 * int64_t(L);
+    qual += rec0 * int64_t(L);
+    id_off += rec0;
+    read_words += rec0 * int64_t(W);
+    amb_bits += rec0 * int64_t(W);
     for (int64_t i = 0; i < n; ++i) {
         if (!next_line(data, size, cur, s, e)) return -2;  // header
         int64_t hlen = e - s - 1;
@@ -148,6 +178,16 @@ int bwtpu_fastq_parse(const uint8_t* data, int64_t size, int64_t n,
         memcpy(qual + i * int64_t(L), data + s, size_t(L));
     }
     return 0;
+}
+
+// Pass 2, whole file (compatibility wrapper).
+int bwtpu_fastq_parse(const uint8_t* data, int64_t size, int64_t n,
+                      int32_t L, uint8_t* seq, uint8_t* qual,
+                      uint8_t* id_blob, int64_t* id_off,
+                      int32_t* read_words, int32_t* amb_bits) {
+    id_off[0] = 0;
+    return bwtpu_fastq_parse_range(data, size, 0, 0, 0, n, L, seq, qual,
+                                   id_blob, id_off, read_words, amb_bits);
 }
 
 }  // extern "C"

@@ -81,6 +81,46 @@ def test_readblock_fallback_shapes(tmp_path):
     assert read_fastq_block(str(empty)) is None
 
 
+def test_read_fastq_stream_matches_block(setup, tmp_path):
+    """Chunked prefetching stream == whole-file parse, chunk by chunk,
+    including threaded range parses and a partial last chunk."""
+    import numpy as np
+
+    from bwtpu.readblock import read_fastq_stream
+
+    genome, cfg, eng, reads = setup
+    fq = tmp_path / "s.fq"
+    write_fastq(str(fq), reads)
+    blk = read_fastq_block(str(fq))
+    chunk = max(1, blk.n // 3)  # 3 full-ish chunks + partial tail
+    res = read_fastq_stream(str(fq), chunk)
+    assert res is not None
+    n_s, L_s, stream = res
+    assert n_s == blk.n and L_s == blk.L
+    # resume: start=2 skips the first two chunks without parsing them
+    _, _, resumed = read_fastq_stream(str(fq), chunk, start=2)
+    got2 = next(resumed)
+    ref2 = blk.slice(2 * chunk, 3 * chunk)
+    np.testing.assert_array_equal(got2.seq, ref2.seq)
+    np.testing.assert_array_equal(got2.id_blob, ref2.id_blob)
+    lo = 0
+    n_chunks = 0
+    for got in stream:
+        ref = blk.slice(lo, lo + chunk)
+        assert got.n == ref.n and got.L == ref.L
+        np.testing.assert_array_equal(got.seq, ref.seq)
+        np.testing.assert_array_equal(got.qual, ref.qual)
+        np.testing.assert_array_equal(got.id_off, ref.id_off)
+        np.testing.assert_array_equal(got.id_blob, ref.id_blob)
+        rw_g, ab_g = pack_block(got)
+        rw_r, ab_r = pack_block(ref)
+        np.testing.assert_array_equal(rw_g, rw_r)
+        np.testing.assert_array_equal(ab_g, ab_r)
+        lo += chunk
+        n_chunks += 1
+    assert lo >= blk.n and n_chunks == -(-blk.n // chunk)
+
+
 def test_pack_block_matches_pack_reads(setup):
     _, _, _, reads = setup
     blk = ReadBlock.from_reads(reads)
@@ -181,7 +221,8 @@ def test_cli_fastpath_byte_equal(tmp_path, monkeypatch):
     cli.main(["align", str(idx_dir), str(fq), "-o", str(fast), "-k", "1",
               "--batch-size", "128"])
     legacy = tmp_path / "legacy.sam"
-    monkeypatch.setattr(readblock, "read_fastq_block", lambda p: None)
+    monkeypatch.setattr(readblock, "read_fastq_stream",
+                        lambda p, c, start=0: None)
     cli.main(["align", str(idx_dir), str(fq), "-o", str(legacy), "-k", "1",
               "--batch-size", "128"])
     assert fast.read_bytes() == legacy.read_bytes()
