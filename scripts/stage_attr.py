@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--no-locv", action="store_true",
                     help="A/B: small-table locate_rows + verify_packed "
                          "instead of the fused locv row gather")
+    ap.add_argument("--kmer-d", type=int, default=None,
+                    help="k-mer start depth (table size 4^d * 8 B: d=11 "
+                         "-> 33 MB at ~17 ns/row, d=10 -> 8.4 MB "
+                         "cache-resident ~7 ns/row; with min_trips >= 1 "
+                         "the extra trip equalizes candidate quality)")
     args = ap.parse_args()
 
     import jax
@@ -66,7 +71,8 @@ def main():
 
     tune_malloc()
     L = 100
-    cfg = EngineConfig(sa_rate=1, max_hits=4, max_cand=8, read_len=L)
+    cfg = EngineConfig(sa_rate=1, max_hits=4, max_cand=8, read_len=L,
+                       kmer_d=args.kmer_d)
     genome = random_genome(ECOLI_SCALE, seed=1)
     idx = build_fm_index(genome, cfg)
     dev = upload_index([idx], locv=not args.no_locv)
