@@ -105,6 +105,62 @@ class ReadBlock:
         )
 
 
+def concat_blocks(b1: ReadBlock, b2: ReadBlock) -> ReadBlock:
+    """Row-concatenated block [b1 rows | b2 rows] — one device dispatch
+    for a paired batch (mates stacked on the batch axis). Requires
+    equal L; packed payloads survive when both blocks carry them."""
+    if b1.L != b2.L:
+        raise ValueError("concat requires equal L")
+
+    def cat(a, b):
+        return None if a is None or b is None else np.concatenate([a, b])
+
+    return ReadBlock(
+        n=b1.n + b2.n, L=b1.L,
+        id_blob=np.concatenate([b1.id_blob, b2.id_blob]),
+        id_off=np.concatenate([b1.id_off, b1.id_off[-1] + b2.id_off[1:]]),
+        seq=np.concatenate([b1.seq, b2.seq]),
+        qual=cat(b1.qual, b2.qual),
+        words=cat(b1.words, b2.words),
+        amb=cat(b1.amb, b2.amb),
+    )
+
+
+def interleave_blocks(b1: ReadBlock, b2: ReadBlock) -> ReadBlock:
+    """Row-interleaved block [b1[0], b2[0], b1[1], b2[1], ...] — the SAM
+    record order of a paired batch (mate records adjacent). Requires
+    equal n and L; packed payloads are dropped (emission-only use)."""
+    if b1.n != b2.n or b1.L != b2.L:
+        raise ValueError("interleave requires equal n and L")
+    n, L = b1.n, b1.L
+    seq = np.stack([b1.seq, b2.seq], axis=1).reshape(2 * n, L)
+    qual = None
+    if b1.qual is not None and b2.qual is not None:
+        qual = np.stack([b1.qual, b2.qual], axis=1).reshape(2 * n, L)
+    l1 = np.diff(b1.id_off)
+    l2 = np.diff(b2.id_off)
+    lens_i = np.stack([l1, l2], axis=1).reshape(-1)
+    off_i = np.zeros(2 * n + 1, dtype=np.int64)
+    off_i[1:] = np.cumsum(lens_i)
+    blob = np.empty(int(off_i[-1]), dtype=np.uint8)
+
+    def place(dst_starts, lens, src_blob):
+        total = int(lens.sum())
+        if total == 0:
+            return
+        excl = np.zeros(len(lens), dtype=np.int64)
+        excl[1:] = np.cumsum(lens)[:-1]
+        dst = np.repeat(dst_starts, lens) + (
+            np.arange(total, dtype=np.int64) - np.repeat(excl, lens)
+        )
+        blob[dst] = src_blob
+
+    place(off_i[0 : 2 * n : 2], l1, b1.id_blob)
+    place(off_i[1 : 2 * n : 2], l2, b2.id_blob)
+    return ReadBlock(n=2 * n, L=L, id_blob=blob, id_off=off_i, seq=seq,
+                     qual=qual)
+
+
 def _upper(a: np.ndarray) -> np.ndarray:
     return np.where((a >= 97) & (a <= 122), a - 32, a)
 

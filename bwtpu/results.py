@@ -163,6 +163,89 @@ def select_primary_flat(flat: FlatHits) -> Primary:
     return Primary(mapped, pos, sr, nm, mapq)
 
 
+def split_flat(flat: FlatHits, n1: int) -> tuple[FlatHits, FlatHits]:
+    """Split a stacked-batch FlatHits (reads [0, n1) = mate 1, rest =
+    mate 2) into per-mate FlatHits; read_idx is non-decreasing, so the
+    split is one searchsorted."""
+    cut = int(np.searchsorted(flat.read_idx, n1))
+    f1 = FlatHits(flat.read_idx[:cut], flat.pos[:cut],
+                  flat.strand_rev[:cut], flat.nm[:cut], n1)
+    f2 = FlatHits((flat.read_idx[cut:] - n1).astype(np.int32),
+                  flat.pos[cut:], flat.strand_rev[cut:], flat.nm[cut:],
+                  flat.n_reads - n1)
+    return f1, f2
+
+
+class PairChoice(NamedTuple):
+    """Per-pair proper-pair selection (golden pair_and_emit_sam rule)."""
+
+    i1: np.ndarray  # int64[n] index into flat1 arrays; -1 = no proper pair
+    i2: np.ndarray  # int64[n] index into flat2 arrays
+    tlen1: np.ndarray  # int64[n] signed insert for mate 1 (valid i1 >= 0)
+
+
+def select_pairs(
+    flat1: FlatHits, flat2: FlatHits, L1: int, L2: int,
+    min_insert: int, max_insert: int,
+) -> PairChoice:
+    """Vectorized twin of bwtpu.sam.pair_and_emit_sam's pairing loop.
+
+    Pinned rule: proper pair = mates on opposite strands, FR
+    orientation (the '-' mate's end past the '+' mate's start), outer
+    insert in [min_insert, max_insert]; minimize (nm1+nm2, fwd pos,
+    min mate pos), remaining ties broken by hit-list iteration order
+    (mate-1-major) — reproduced here as a final (i1, i2) lexsort key so
+    output is byte-identical to the per-pair Python loop
+    (tests/test_fastpath.py)."""
+    n = flat1.n_reads
+    out_i1 = np.full(n, -1, dtype=np.int64)
+    out_i2 = np.full(n, -1, dtype=np.int64)
+    out_tlen = np.zeros(n, dtype=np.int64)
+    c1 = np.bincount(flat1.read_idx, minlength=n).astype(np.int64)
+    c2 = np.bincount(flat2.read_idx, minlength=n).astype(np.int64)
+    o1 = np.zeros(n, dtype=np.int64)
+    o1[1:] = np.cumsum(c1)[:-1]
+    o2 = np.zeros(n, dtype=np.int64)
+    o2[1:] = np.cumsum(c2)[:-1]
+    m = c1 * c2
+    total = int(m.sum())
+    if total == 0:
+        return PairChoice(out_i1, out_i2, out_tlen)
+    seg = np.repeat(np.arange(n, dtype=np.int64), m)
+    mo = np.zeros(n, dtype=np.int64)
+    mo[1:] = np.cumsum(m)[:-1]
+    t = np.arange(total, dtype=np.int64) - mo[seg]
+    i1 = o1[seg] + t // c2[seg]
+    i2 = o2[seg] + t % c2[seg]
+    s1 = flat1.strand_rev[i1]
+    s2 = flat2.strand_rev[i2]
+    p1 = flat1.pos[i1]
+    p2 = flat2.pos[i2]
+    fwd_pos = np.where(~s1, p1, p2)
+    rev_end = np.where(~s1, p2 + L2, p1 + L1)
+    insert = rev_end - fwd_pos
+    ok = (
+        (s1 != s2) & (rev_end > fwd_pos)
+        & (insert >= min_insert) & (insert <= max_insert)
+    )
+    if not ok.any():
+        return PairChoice(out_i1, out_i2, out_tlen)
+    seg, i1, i2 = seg[ok], i1[ok], i2[ok]
+    insert, fwd_pos, s1 = insert[ok], fwd_pos[ok], s1[ok]
+    nmsum = flat1.nm[i1] + flat2.nm[i2]
+    minp = np.minimum(flat1.pos[i1], flat2.pos[i2])
+    order = np.lexsort((i2, i1, minp, fwd_pos, nmsum, seg))
+    seg_o = seg[order]
+    first = np.ones(len(seg_o), dtype=bool)
+    first[1:] = seg_o[1:] != seg_o[:-1]
+    sel = order[first]
+    ssel = seg[sel]
+    out_i1[ssel] = i1[sel]
+    out_i2[ssel] = i2[sel]
+    out_tlen[ssel] = np.where(~s1[sel], insert[sel], -insert[sel])
+    return PairChoice(out_i1, out_i2, out_tlen)
+
+
 class ContigTable(NamedTuple):
     """Vectorized twin of bwtpu.io.resolve_position."""
 

@@ -198,6 +198,107 @@ def _format_py(
     return b"\n".join(parts) + b"\n" if parts else b""
 
 
+def emit_paired(
+    block1: ReadBlock, block2: ReadBlock,
+    flat1, flat2, choice, prim1: Primary, prim2: Primary,
+    ctable: ContigTable, force_python: bool = False,
+) -> bytes:
+    """Paired-end emission over flat arrays: byte-equal to
+    bwtpu.sam.pair_and_emit_sam (tests/test_fastpath.py).
+
+    choice = results.select_pairs(flat1, flat2, ...); pairs without a
+    proper pair fall back to each mate's independent primary
+    (prim1/prim2 = results.select_primary_flat). Mate records are
+    emitted adjacent via a row-interleaved block, so the whole paired
+    batch is ONE C-formatter call."""
+    from bwtpu.readblock import interleave_blocks
+    from bwtpu.sam import (FLAG_MATE_REVERSE, FLAG_MATE_UNMAPPED,
+                           FLAG_PAIRED, FLAG_PROPER, FLAG_READ1, FLAG_READ2)
+
+    n, L1, L2 = block1.n, block1.L, block2.L
+    paired = choice.i1 >= 0
+    idx1 = np.where(paired, choice.i1, 0)
+    idx2 = np.where(paired, choice.i2, 0)
+    hp1, hs1, hn1 = flat1.pos[idx1], flat1.strand_rev[idx1], flat1.nm[idx1]
+    hp2, hs2, hn2 = flat2.pos[idx2], flat2.strand_rev[idx2], flat2.nm[idx2]
+    cid1p, lp1p = ctable.resolve(hp1, L1)
+    cid2p, lp2p = ctable.resolve(hp2, L2)
+    p1ok = cid1p >= 0
+    p2ok = cid2p >= 0
+    same = p1ok & p2ok & (cid1p == cid2p)
+    proper = np.where(same, FLAG_PROPER, 0)
+    base1 = FLAG_PAIRED | FLAG_READ1
+    base2 = FLAG_PAIRED | FLAG_READ2
+    f1p = base1 | proper | np.where(hs2, FLAG_MATE_REVERSE, 0)
+    f2p = base2 | proper | np.where(hs1, FLAG_MATE_REVERSE, 0)
+    rnext1p = np.where(same, -2, np.where(p2ok, cid2p, -1))
+    pnext1p = np.where(p2ok, lp2p + 1, 0)
+    rnext2p = np.where(same, -2, np.where(p1ok, cid1p, -1))
+    pnext2p = np.where(p1ok, lp1p + 1, 0)
+
+    # fallback: independent primaries (mate flags depend on the mate's
+    # primary EXISTENCE, not its boundary-resolvability — sam.py rule)
+    c1f, l1f = ctable.resolve(prim1.pos, L1)
+    c2f, l2f = ctable.resolve(prim2.pos, L2)
+    eff1f = prim1.mapped & (c1f >= 0)
+    eff2f = prim2.mapped & (c2f >= 0)
+    f1f = (
+        base1
+        | np.where(~prim2.mapped, FLAG_MATE_UNMAPPED, 0)
+        | np.where(prim2.mapped & prim2.strand_rev, FLAG_MATE_REVERSE, 0)
+    )
+    f2f = (
+        base2
+        | np.where(~prim1.mapped, FLAG_MATE_UNMAPPED, 0)
+        | np.where(prim1.mapped & prim1.strand_rev, FLAG_MATE_REVERSE, 0)
+    )
+
+    def merge(pp, ff):
+        return np.where(paired, pp, ff)
+
+    mapped1 = merge(p1ok, eff1f)
+    mapped2 = merge(p2ok, eff2f)
+    flagb1 = merge(f1p, f1f)
+    flagb2 = merge(f2p, f2f)
+    sr1 = merge(hs1, prim1.strand_rev).astype(bool)
+    sr2 = merge(hs2, prim2.strand_rev).astype(bool)
+    # own-strand FLAG_REVERSE rides only on MAPPED records (sam._record)
+    flag1 = np.where(
+        mapped1, flagb1 | np.where(sr1, FLAG_REVERSE, 0),
+        flagb1 | FLAG_UNMAPPED,
+    )
+    flag2 = np.where(
+        mapped2, flagb2 | np.where(sr2, FLAG_REVERSE, 0),
+        flagb2 | FLAG_UNMAPPED,
+    )
+
+    def inter(a, b):
+        return np.stack(
+            [np.asarray(a), np.asarray(b)], axis=1
+        ).reshape(-1)
+
+    blk = interleave_blocks(block1, block2)
+    return format_records(
+        blk,
+        mapped=inter(mapped1, mapped2),
+        flag=inter(flag1, flag2).astype(np.int32),
+        rname_id=inter(merge(cid1p, c1f), merge(cid2p, c2f)).astype(np.int32),
+        pos1=inter(merge(lp1p, l1f) + 1, merge(lp2p, l2f) + 1),
+        mapq=inter(merge(np.full(n, 37), prim1.mapq),
+                   merge(np.full(n, 37), prim2.mapq)).astype(np.int32),
+        rnext_id=inter(merge(rnext1p, np.full(n, -1)),
+                       merge(rnext2p, np.full(n, -1))).astype(np.int32),
+        pnext1=inter(merge(pnext1p, np.zeros(n, np.int64)),
+                     merge(pnext2p, np.zeros(n, np.int64))),
+        tlen=inter(np.where(paired, choice.tlen1, 0),
+                   np.where(paired, -choice.tlen1, 0)),
+        nm=inter(merge(hn1, prim1.nm), merge(hn2, prim2.nm)).astype(np.int32),
+        revcomp=inter(mapped1 & sr1, mapped2 & sr2),
+        ctable=ctable,
+        force_python=force_python,
+    )
+
+
 def emit_single(
     block: ReadBlock, primary: Primary, ctable: ContigTable,
     force_python: bool = False,

@@ -137,6 +137,83 @@ def _align_block_stream(engine, stream, manifest, args, k, bs, start_batch,
     return total, t_start
 
 
+def _align_paired_block_stream(engine, stream1, stream2, manifest, args, k,
+                               bs, start_batch, cursor_path, mode):
+    """Columnar paired fast path: both mates stack on the batch axis
+    into ONE dispatch per round; pairing is vectorized
+    (results.select_pairs) and the whole round emits through one
+    interleaved C-formatter call (samfast.emit_paired). Byte-equal to
+    the Read-list path (tests/test_fastpath.py)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bwtpu.readblock import concat_blocks
+    from bwtpu.results import (ContigTable, select_pairs,
+                               select_primary_flat, split_flat)
+    from bwtpu.sam import sam_header
+    from bwtpu.samfast import emit_paired
+
+    ctable = ContigTable.build(manifest.contigs)
+    out = (
+        sys.stdout.buffer
+        if args.out in (None, "-")
+        else open(args.out, mode + "b")
+    )
+    t_start = time.time()
+    total = 0
+    ex = ThreadPoolExecutor(max_workers=1)
+
+    def process(sub1, sub2, handle):
+        flat = engine.finish_block(handle)
+        f1, f2 = split_flat(flat, sub1.n)
+        choice = select_pairs(f1, f2, sub1.L, sub2.L, args.min_insert,
+                              args.max_insert)
+        return emit_paired(sub1, sub2, f1, f2, choice,
+                           select_primary_flat(f1), select_primary_flat(f2),
+                           ctable)
+
+    try:
+        if mode == "w":
+            out.write(sam_header(manifest.contigs).encode())
+        inflight = []
+
+        def drain_one():
+            nonlocal total
+            bi0, t0, n_pair, fut = inflight.pop(0)
+            out.write(fut.result())
+            total += 2 * n_pair
+            print(
+                json.dumps({
+                    "event": "batch", "batch": bi0, "reads": 2 * n_pair,
+                    "reads_per_s": round(
+                        2 * n_pair / (time.time() - t0), 1
+                    ),
+                    "ms": round((time.time() - t0) * 1e3, 1),
+                }),
+                file=sys.stderr,
+            )
+            _save_cursor(cursor_path, bi0 + 1)
+
+        for bi, (sub1, sub2) in enumerate(zip(stream1, stream2),
+                                          start=start_batch):
+            if sub1.n != sub2.n:
+                raise SystemExit("paired files differ in read count")
+            handle = engine.dispatch_block(
+                concat_blocks(sub1, sub2), k, pad_to=2 * bs
+            )
+            inflight.append(
+                (bi, time.time(), sub1.n, ex.submit(process, sub1, sub2, handle))
+            )
+            if len(inflight) > 3:
+                drain_one()
+        while inflight:
+            drain_one()
+    finally:
+        ex.shutdown(wait=False)
+        if out is not sys.stdout.buffer:
+            out.close()
+    return total, t_start
+
+
 def cmd_align(args):
     from bwtpu.engine import Engine
     from bwtpu.index import load_index
@@ -164,21 +241,35 @@ def cmd_align(args):
         log.info("resuming at batch %d", start_batch)
     mode = "a" if (args.resume and start_batch > 0) else "w"
 
-    if not args.paired and not args.profile and not args.rescore:
+    if not args.profile and not args.rescore:
         # columnar fast path (uniform-length FASTQ); falls back to the
-        # Read-list path for ragged/FASTA/paired inputs. Resume skips
+        # Read-list path for ragged/FASTA inputs. Resume skips
         # already-done chunks WITHOUT parsing them (scan checkpoints).
         from bwtpu.readblock import read_fastq_stream
 
         res = read_fastq_stream(args.reads, bs, start=start_batch)
-        if res is not None and 0 < res[1] <= engine.config.read_len:
-            _n_total, _L, stream = res
-            total, t_start = _align_block_stream(
-                engine, stream, manifest, args, k, bs, start_batch,
-                cursor_path, mode,
-            )
-            _print_summary(engine, total, t_start)
-            return
+        if not args.paired:
+            if res is not None and 0 < res[1] <= engine.config.read_len:
+                _n_total, _L, stream = res
+                total, t_start = _align_block_stream(
+                    engine, stream, manifest, args, k, bs, start_batch,
+                    cursor_path, mode,
+                )
+                _print_summary(engine, total, t_start)
+                return
+        else:
+            res2 = read_fastq_stream(args.paired, bs, start=start_batch)
+            if (
+                res is not None and res2 is not None
+                and res[0] == res2[0] and res[1] == res2[1]
+                and 0 < res[1] <= engine.config.read_len
+            ):
+                total, t_start = _align_paired_block_stream(
+                    engine, res[2], res2[2], manifest, args, k, bs,
+                    start_batch, cursor_path, mode,
+                )
+                _print_summary(engine, total, t_start)
+                return
 
     reads = read_reads(args.reads)
     out = sys.stdout if args.out in (None, "-") else open(args.out, mode)

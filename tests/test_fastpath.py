@@ -187,6 +187,58 @@ def test_primary_and_sam_byte_equality(setup, k):
     assert emit_single(blk, prim, ctable) == ref_bytes
 
 
+def test_emit_paired_byte_equal():
+    """Vectorized pairing + interleaved C emission == the per-pair
+    Python loop (sam.pair_and_emit_sam), byte for byte — proper pairs,
+    orphan mates, unmapped mates, contig-boundary hits, tie-breaks."""
+    import io as _io
+
+    from bwtpu.golden import GoldenFMIndex
+    from bwtpu.readblock import ReadBlock
+    from bwtpu.results import (ContigTable, flat_from_hit_lists,
+                               select_pairs, select_primary_flat)
+    from bwtpu.sam import pair_and_emit_sam
+    from bwtpu.samfast import emit_paired
+    from bwtpu.io import Contig
+    from bwtpu.simulate import simulate_pairs
+
+    genome = random_genome(8000, seed=61)
+    contigs = [Contig("cA", 0, 3000), Contig("cB", 3000, 5000)]
+    golden = GoldenFMIndex(genome)
+    pairs, _ = simulate_pairs(genome, 60, read_len=36, insert_mean=150,
+                              insert_sd=30, max_mismatches=2, seed=62)
+    r1 = [p[0] for p in pairs]
+    r2 = [p[1] for p in pairs]
+    # corrupt some mates so fallback/unmapped branches run
+    r2[3] = Read(rid=r2[3].rid, seq="N" * 36, qual=r2[3].qual)
+    r1[7] = Read(rid=r1[7].rid, seq="ACGT" * 9, qual=r1[7].qual)
+    pairs = list(zip(r1, r2))
+    h1 = [golden.align_read(r.seq, k=2) for r in r1]
+    h2 = [golden.align_read(r.seq, k=2) for r in r2]
+
+    for mi, ma in ((0, 400), (120, 200), (0, 10)):
+        buf = _io.StringIO()
+        pair_and_emit_sam(pairs, h1, h2, contigs, buf, min_insert=mi,
+                          max_insert=ma, header=False)
+        ref = buf.getvalue().encode()
+
+        f1 = flat_from_hit_lists(h1)
+        f2 = flat_from_hit_lists(h2)
+        choice = select_pairs(f1, f2, 36, 36, mi, ma)
+        ct = ContigTable.build(contigs)
+        b1 = ReadBlock.from_reads(r1)
+        b2 = ReadBlock.from_reads(r2)
+        got = emit_paired(b1, b2, f1, f2, choice,
+                          select_primary_flat(f1), select_primary_flat(f2),
+                          ct)
+        assert got == ref, (mi, ma)
+        got_py = emit_paired(b1, b2, f1, f2, choice,
+                             select_primary_flat(f1),
+                             select_primary_flat(f2), ct,
+                             force_python=True)
+        assert got_py == ref
+
+
 def test_flatten_dedupes_min_nm():
     # same (read, pos, strand) from two seed slots, different nm: keep min
     flat = flatten_hits(
@@ -225,6 +277,40 @@ def test_cli_fastpath_byte_equal(tmp_path, monkeypatch):
                         lambda p, c, start=0: None)
     cli.main(["align", str(idx_dir), str(fq), "-o", str(legacy), "-k", "1",
               "--batch-size", "128"])
+    assert fast.read_bytes() == legacy.read_bytes()
+
+
+def test_cli_paired_fastpath_byte_equal(tmp_path, monkeypatch):
+    """cli align --paired: columnar stacked-dispatch fast path == the
+    per-pair Read-list path, byte for byte."""
+    import cli
+    from bwtpu import readblock
+    from bwtpu.simulate import simulate_pairs
+
+    genome = random_genome(30000, seed=13)
+    cfg = EngineConfig(sa_rate=4, read_len=60)
+    shards, manifest = build_sharded_index(genome, 2, config=cfg, overlap=64)
+    from bwtpu.index import save_index
+
+    idx_dir = tmp_path / "idx"
+    save_index(str(idx_dir), shards, manifest)
+    pairs, _ = simulate_pairs(genome, 150, read_len=60, insert_mean=200,
+                              insert_sd=20, max_mismatches=2, seed=14)
+    p1 = tmp_path / "r1.fq"
+    p2 = tmp_path / "r2.fq"
+    write_fastq(str(p1), [p[0] for p in pairs])
+    write_fastq(str(p2), [p[1] for p in pairs])
+
+    fast = tmp_path / "fast.sam"
+    cli.main(["align", str(idx_dir), str(p1), "--paired", str(p2),
+              "-o", str(fast), "-k", "1", "--batch-size", "64",
+              "--max-insert", "400"])
+    legacy = tmp_path / "legacy.sam"
+    monkeypatch.setattr(readblock, "read_fastq_stream",
+                        lambda p, c, start=0: None)
+    cli.main(["align", str(idx_dir), str(p1), "--paired", str(p2),
+              "-o", str(legacy), "-k", "1", "--batch-size", "64",
+              "--max-insert", "400"])
     assert fast.read_bytes() == legacy.read_bytes()
 
 
