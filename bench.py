@@ -196,11 +196,17 @@ def main():
 
     # Large batches amortize the relay's fixed per-dispatch overhead
     # (~17 ms measured): 32 K reads/batch -> 731 K reads/s, 262 K ->
-    # 1.10 M on the same pipeline (docs/DESIGN.md).
-    B = args.batch or (1024 if args.smoke else 262144)
+    # 1.10 M on the same pipeline (docs/DESIGN.md). Round-3 A/B
+    # (scripts/ab_batch.py): exact peaks at 524 K (5.50 vs 3.78 M
+    # reads/s at 262 K; 1 M regresses to 5.0), while k=2 — whose 3-seed
+    # working set is 3x wider — peaks at 262 K (2.09 vs 1.73 M at
+    # 524 K), so the two pipelines use different batch sizes.
+    B = args.batch or (1024 if args.smoke else 524288)
+    B_k2 = min(B, 262144)
     t0 = time.time()
     n_batches = args.nbatches
     encs = []
+    encs_k2 = []
     reads = None
     for i in range(n_batches):
         rds, _ = simulate_reads(genome, B, read_len=L, max_mismatches=2,
@@ -208,6 +214,7 @@ def main():
         reads = reads or rds
         rw, ab = pack_reads_for_bench(rds)
         encs.append((jax.device_put(rw), jax.device_put(ab)))
+        encs_k2.append((jax.device_put(rw[:B_k2]), jax.device_put(ab[:B_k2])))
     timings["encode_upload_s"] = round(time.time() - t0, 1)
 
     # --- exact (config 1) ---
@@ -247,15 +254,15 @@ def main():
         inexact_pipeline_packed, L=L, k=2, d=d_seed, max_loc=cfg.max_cand,
         sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor, min_trips=mt,
         backend=backend, compact_output=True))
-    np.asarray(fi(shard0, *encs[0])[1])
+    np.asarray(fi(shard0, *encs_k2[0])[1])
     k2_rps = 0.0
     k2_over = 0
     for _ in range(2):
         t0 = time.time()
-        outs = [fi(shard0, *e) for e in encs]
+        outs = [fi(shard0, *e) for e in encs_k2]
         for o in outs:
             np.asarray(o[1][:64])
-        k2_rps = max(k2_rps, B * n_batches / (time.time() - t0))
+        k2_rps = max(k2_rps, B_k2 * n_batches / (time.time() - t0))
         k2_over = max(
             k2_over,
             sum(int(np.asarray(o[5])) + int((np.asarray(o[4]) > 0).sum())
@@ -278,13 +285,19 @@ def main():
     from bwtpu.sam import sam_header
     from bwtpu.samfast import emit_single
 
-    n_e2e = 1 if args.smoke else 4  # 4 x 262144 = 1.05 M reads
+    # The e2e loop is HOST-bound (roofline below) and wants overlap
+    # depth, not dispatch amortization: 262 K chunks measured 341 K
+    # reads/s where 524 K chunks measured 239 K (fewer chunks = less
+    # parse/assemble overlap), so its chunk size stays 262 K even when
+    # the device bench batch is larger.
+    Bc = min(B, 262144)
+    n_e2e = 1 if args.smoke else max(2, 1048576 // Bc)
     t0 = time.time()
     e2e_dir = _tf.mkdtemp(prefix="bwtpu_e2e_")
     fq_path = _os.path.join(e2e_dir, "reads.fq")
     with open(fq_path, "w") as f:
         for i in range(n_e2e):
-            rds, _ = simulate_reads(genome, B, read_len=L,
+            rds, _ = simulate_reads(genome, Bc, read_len=L,
                                     max_mismatches=2, seed=100 + i)
             for r in rds:
                 f.write(f"@{r.rid}.{i}\n{r.seq}\n+\n{'I' * L}\n")
@@ -297,7 +310,7 @@ def main():
         loc_factor=0.75, k=0, min_trips=1, hit_factor=0.5))])
     ctable = ContigTable.build(idx.contigs)
     warm = read_fastq_block(fq_path)
-    eng.finish_block(eng.dispatch_block(warm.slice(0, B), 0, pad_to=B))
+    eng.finish_block(eng.dispatch_block(warm.slice(0, Bc), 0, pad_to=Bc))
     del warm
     from concurrent.futures import ThreadPoolExecutor
 
@@ -324,10 +337,10 @@ def main():
             flat, prim = fut.result()
             out.write(emit_single(sub, prim, ctable))
 
-        _n_total, _L_s, stream = read_fastq_stream(fq_path, B)
+        _n_total, _L_s, stream = read_fastq_stream(fq_path, Bc)
         for sub in stream:
             n_reads_e2e += sub.n
-            h = eng.dispatch_block(sub, 0, pad_to=B)
+            h = eng.dispatch_block(sub, 0, pad_to=Bc)
             inflight.append((sub, ex.submit(process, h)))
             if len(inflight) > 2:
                 drain()
@@ -423,6 +436,7 @@ def main():
             "kmer_d": d,
             "platform": jax.devices()[0].platform,
             "batch_reads": B,
+            "batch_reads_k2": B_k2,
             "total_s": round(time.time() - t0_all, 1),
             **timings,
         },
