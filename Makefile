@@ -6,13 +6,15 @@ all: native
 native:
 	$(MAKE) -C csrc
 
-# fast suite (~5 min); the `scale` tier (268 Mbp int32 row math, 22 min
-# on this host) runs via test-all
+# fast suite (target < 6 min); the `scale` tier (268 Mbp int32 row
+# math at 22 min, heaviest multihost 2-process cases) runs via test-all.
+# pytest.ini's addopts already deselects `scale`; the explicit -m ""
+# in test-all overrides it.
 test: native
-	python -m pytest tests/ -q -m "not scale"
+	python -m pytest tests/ -q
 
 test-all: native
-	python -m pytest tests/ -q
+	python -m pytest tests/ -q -m ""
 
 # trace/shape check of the exact bench entry the driver runs — run this
 # before every commit touching the engine (VERDICT r1 item 10)

@@ -214,20 +214,29 @@ def main():
         reads = reads or rds
         rw, ab = pack_reads_for_bench(rds)
         encs.append((jax.device_put(rw), jax.device_put(ab)))
-        encs_k2.append((jax.device_put(rw[:B_k2]), jax.device_put(ab[:B_k2])))
+        if B_k2 == B:
+            # same batch geometry: reuse the exact batches instead of
+            # uploading byte-identical copies (ADVICE r3 — doubled
+            # encode_upload_s for nothing in smoke/small-batch runs)
+            encs_k2.append(encs[-1])
+        else:
+            encs_k2.append(
+                (jax.device_put(rw[:B_k2]), jax.device_put(ab[:B_k2]))
+            )
     timings["encode_upload_s"] = round(time.time() - t0, 1)
 
     # --- exact (config 1) ---
-    # min_trips=1 + loc_factor=0.75: one guaranteed multi-step trip
+    # min_trips=1 + loc_factor=0.5: one guaranteed multi-step trip
     # divides false candidates 4^3-fold, leaving measured occupancy
-    # 0.45 of a 0.75*B2 cap with ZERO overflow. The round-2 bench ran
-    # min_trips=0 / loc_factor=1, which overflowed the compaction by
-    # ~250 K candidates per batch WITHOUT FETCHING THE COUNTER — a
-    # silently lossy configuration (occupancy probe, round 3); the
-    # numbers below are from a loss-free config and the overflow
-    # counters now ride the same fetch as the outputs.
+    # 0.45*B2 live candidates — 90% of a 0.5*B2 cap with ZERO overflow
+    # (round-4 sweep, scripts/sweep_locate.py: lf 0.75 -> 0.5 moved
+    # 5.17 -> 6.38 M reads/s because compacted stages pay their CAP in
+    # gather rows; lf 0.45 sits at 100% occupancy and 0.4 overflows —
+    # DESIGN.md "locate/cap sweep, round 4"). Production runs are
+    # protected by self-healing re-dispatch (engine._caps); the bench
+    # asserts zero overflow so the measured rate is loss-free.
     mt = 1
-    exact_lf = 0.75
+    exact_lf = 0.5
     d = pick_kmer_depth(depths, L)
     fx = jax.jit(functools.partial(
         exact_pipeline_packed, L=L, d=d, max_hits=cfg.max_hits,
@@ -249,10 +258,16 @@ def main():
         )
 
     # --- inexact k=2 (config 2) ---
+    # k2 loc_factor=1.5: the 3-seed candidate pool is nearly all TRUE
+    # duplicates (~1.34*B2 live — every seed of a true locus matches),
+    # so 1.5 leaves ~12% headroom with zero overflow where 1.0 drops
+    # ~500 K rows; measured 2.28 vs 2.13 M reads/s at lf=2 (round-4
+    # ab_batch sweep).
+    k2_lf = 1.5
     d_seed = pick_kmer_depth(depths, L // 3)
     fi = jax.jit(functools.partial(
         inexact_pipeline_packed, L=L, k=2, d=d_seed, max_loc=cfg.max_cand,
-        sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor, min_trips=mt,
+        sa_rate=cfg.sa_rate, loc_factor=k2_lf, min_trips=mt,
         backend=backend, compact_output=True))
     np.asarray(fi(shard0, *encs_k2[0])[1])
     k2_rps = 0.0
@@ -285,15 +300,24 @@ def main():
     from bwtpu.sam import sam_header
     from bwtpu.samfast import emit_single
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bwtpu.readblock import concat_blocks
+    from bwtpu.results import select_pairs, split_flat
+    from bwtpu.samfast import emit_paired
+    from bwtpu.simulate import simulate_pairs
+
     # The e2e loop is HOST-bound (roofline below) and wants overlap
     # depth, not dispatch amortization: 262 K chunks measured 341 K
     # reads/s where 524 K chunks measured 239 K (fewer chunks = less
     # parse/assemble overlap), so its chunk size stays 262 K even when
     # the device bench batch is larger.
     Bc = min(B, 262144)
-    n_e2e = 1 if args.smoke else max(2, 1048576 // Bc)
-    t0 = time.time()
     e2e_dir = _tf.mkdtemp(prefix="bwtpu_e2e_")
+    ctable = ContigTable.build(idx.contigs)
+    t0 = time.time()
+    # single-end FASTQ (exact + k2 e2e share it)
+    n_e2e = 1 if args.smoke else max(2, 1048576 // Bc)
     fq_path = _os.path.join(e2e_dir, "reads.fq")
     with open(fq_path, "w") as f:
         for i in range(n_e2e):
@@ -301,57 +325,120 @@ def main():
                                     max_mismatches=2, seed=100 + i)
             for r in rds:
                 f.write(f"@{r.rid}.{i}\n{r.seq}\n+\n{'I' * L}\n")
+    # paired FASTQ pair (config 5 shape): Bc/2 pairs per chunk so the
+    # stacked two-mate dispatch stays at Bc rows
+    Bcp = Bc // 2
+    n_pair_chunks = 1 if args.smoke else 2
+    fq1_path = _os.path.join(e2e_dir, "reads_1.fq")
+    fq2_path = _os.path.join(e2e_dir, "reads_2.fq")
+    with open(fq1_path, "w") as f1, open(fq2_path, "w") as f2:
+        for i in range(n_pair_chunks):
+            prs, _ = simulate_pairs(genome, Bcp, read_len=L,
+                                    max_mismatches=2, seed=300 + i)
+            for r1, r2 in prs:
+                f1.write(f"@{r1.rid}.{i}\n{r1.seq}\n+\n{'I' * L}\n")
+                f2.write(f"@{r2.rid}.{i}\n{r2.seq}\n+\n{'I' * L}\n")
     timings["e2e_setup_s"] = round(time.time() - t0, 1)
-    # flagship e2e config: min_trips=1 thins false candidates 4^3-fold
-    # (no compaction overflow at bench scale — occupancy 0.45 of the
-    # 0.75*B2 cap, round-3 probe), hit_factor sizes the one-round-trip
-    # hit buffer for the ~27 MB/s relay D2H
-    eng = Engine([_dc.replace(idx, config=cfg.replace(
-        loc_factor=0.75, k=0, min_trips=1, hit_factor=0.5))])
-    ctable = ContigTable.build(idx.contigs)
-    warm = read_fastq_block(fq_path)
-    eng.finish_block(eng.dispatch_block(warm.slice(0, Bc), 0, pad_to=Bc))
-    del warm
-    from concurrent.futures import ThreadPoolExecutor
 
-    ex = ThreadPoolExecutor(max_workers=1)
+    def e2e_single(k, lf):
+        """FASTQ -> SAM the way cli.py align runs it: chunk-prefetched
+        columnar parse, packed dispatch (pipelined), one-round-trip hit
+        fetch, vectorized primary, C SAM formatter."""
+        eng = Engine([_dc.replace(idx, config=cfg.replace(
+            loc_factor=lf, k=k, min_trips=1, hit_factor=0.5))])
+        warm = read_fastq_block(fq_path)
+        eng.finish_block(eng.dispatch_block(warm.slice(0, Bc), k, pad_to=Bc))
+        del warm
+        ex = ThreadPoolExecutor(max_workers=1)
 
-    def process(h):
-        flat = eng.finish_block(h)
-        return flat, select_primary_flat(flat)
+        def process(h):
+            flat = eng.finish_block(h)
+            return flat, select_primary_flat(flat)
 
-    sam_path = _os.path.join(e2e_dir, "out.sam")
-    t0 = time.time()
-    # chunked prefetching parse (readblock.read_fastq_stream): chunk
-    # k+1 parses on a background thread while chunk k dispatches /
-    # assembles / writes — on this 2-core ~190 MB/s/core host the
-    # parse is otherwise a serial memory-bound prefix of the wall
-    # (docs/DESIGN.md "e2e host roofline")
-    n_reads_e2e = 0
-    with open(sam_path, "wb") as out:
-        out.write(sam_header(idx.contigs).encode())
-        inflight = []
+        sam_path = _os.path.join(e2e_dir, f"out{k}.sam")
+        t0 = time.time()
+        n_reads = 0
+        with open(sam_path, "wb") as out:
+            out.write(sam_header(idx.contigs).encode())
+            inflight = []
 
-        def drain():
-            sub, fut = inflight.pop(0)
-            flat, prim = fut.result()
-            out.write(emit_single(sub, prim, ctable))
+            def drain():
+                sub, fut = inflight.pop(0)
+                flat, prim = fut.result()
+                out.write(emit_single(sub, prim, ctable,
+                                      truncated=flat.truncated))
 
-        _n_total, _L_s, stream = read_fastq_stream(fq_path, Bc)
-        for sub in stream:
-            n_reads_e2e += sub.n
-            h = eng.dispatch_block(sub, 0, pad_to=Bc)
-            inflight.append((sub, ex.submit(process, h)))
-            if len(inflight) > 2:
+            _n, _L_s, stream = read_fastq_stream(fq_path, Bc)
+            for sub in stream:
+                n_reads += sub.n
+                h = eng.dispatch_block(sub, k, pad_to=Bc)
+                inflight.append((sub, ex.submit(process, h)))
+                if len(inflight) > 2:
+                    drain()
+            while inflight:
                 drain()
-        while inflight:
-            drain()
-    ex.shutdown(wait=False)
-    e2e_s = time.time() - t0
-    e2e_over = eng.stats.overflow_reads + eng.stats.compact_overflows
-    e2e_rps = n_reads_e2e / e2e_s
-    sam_mb = _os.path.getsize(sam_path) / 1e6
-    for p in (fq_path, sam_path):
+        ex.shutdown(wait=False)
+        wall = time.time() - t0
+        over = eng.stats.overflow_reads + eng.stats.compact_overflows
+        mb = _os.path.getsize(sam_path) / 1e6
+        _os.remove(sam_path)
+        return n_reads / wall, wall, n_reads, mb, over, eng.stats.heals
+
+    def e2e_paired(k, lf):
+        """Paired FASTQ pair -> SAM (cli.py align --paired path): both
+        mates stacked into ONE dispatch per round, vectorized pairing
+        (results.select_pairs), one interleaved C-formatter call."""
+        eng = Engine([_dc.replace(idx, config=cfg.replace(
+            loc_factor=lf, k=k, min_trips=1, hit_factor=0.5))])
+        warm1 = read_fastq_block(fq1_path).slice(0, Bcp)
+        warm2 = read_fastq_block(fq2_path).slice(0, Bcp)
+        eng.finish_block(eng.dispatch_block(
+            concat_blocks(warm1, warm2), k, pad_to=Bc))
+        del warm1, warm2
+        ex = ThreadPoolExecutor(max_workers=1)
+
+        def process(sub1, sub2, h):
+            flat = eng.finish_block(h)
+            f1, f2 = split_flat(flat, sub1.n)
+            choice = select_pairs(f1, f2, sub1.L, sub2.L, 0, 1000)
+            return emit_paired(sub1, sub2, f1, f2, choice,
+                               select_primary_flat(f1),
+                               select_primary_flat(f2), ctable)
+
+        sam_path = _os.path.join(e2e_dir, "outp.sam")
+        t0 = time.time()
+        n_reads = 0
+        with open(sam_path, "wb") as out:
+            out.write(sam_header(idx.contigs).encode())
+            inflight = []
+
+            def drain():
+                fut = inflight.pop(0)
+                out.write(fut.result())
+
+            _n1, _l1, s1 = read_fastq_stream(fq1_path, Bcp)
+            _n2, _l2, s2 = read_fastq_stream(fq2_path, Bcp)
+            for sub1, sub2 in zip(s1, s2):
+                n_reads += sub1.n + sub2.n
+                h = eng.dispatch_block(concat_blocks(sub1, sub2), k,
+                                       pad_to=Bc)
+                inflight.append(ex.submit(process, sub1, sub2, h))
+                if len(inflight) > 2:
+                    drain()
+            while inflight:
+                drain()
+        ex.shutdown(wait=False)
+        wall = time.time() - t0
+        over = eng.stats.overflow_reads + eng.stats.compact_overflows
+        mb = _os.path.getsize(sam_path) / 1e6
+        _os.remove(sam_path)
+        return n_reads / wall, wall, n_reads, mb, over, eng.stats.heals
+
+    e2e_rps, e2e_s, n_reads_e2e, sam_mb, e2e_over, e2e_heals = e2e_single(
+        0, exact_lf)
+    e2e_k2 = e2e_single(2, k2_lf)
+    e2e_pe = e2e_paired(2, k2_lf)
+    for p in (fq_path, fq1_path, fq2_path):
         _os.remove(p)
     _os.rmdir(e2e_dir)
 
@@ -371,19 +458,25 @@ def main():
         B2, L, d, step, trips, n_unf, cfg.max_hits, 1, exact_lf,
         cfg.sa_rate, locv=locv_on)
     sol_exact_rps = 1.0 / (ex_rows / B * ns_per_row * 1e-9)
+    # k2 stats run on a B_k2-sized prep and normalize by B_k2: the k2
+    # measurement runs at B_k2 (its working set evicts the gather tables
+    # at larger batches — DESIGN.md "batch size, round 3"), so the model
+    # must describe the batch the measurement uses (ADVICE r3).
+    rw2k, ab2k, *_ = device_prep_packed(*encs_k2[0], L)
+    B2k = int(rw2k.shape[0])
     trips_k2 = n_unf_k2 = 0
     for off, slen in seed_layout(L, 3):
         *_, t_s, u_s = search_early_stop_packed(
             shard0.lattice, shard0.latk, shard0.latk_inv, shard0.C,
             shard0.dollar_row, shard0.kmer_tables[d_seed],
-            rw2, ab2, off, slen, d_seed, step, cfg.max_cand, mt,
+            rw2k, ab2k, off, slen, d_seed, step, cfg.max_cand, mt,
             with_stats=True)
         trips_k2 += int(t_s)
         n_unf_k2 += int(u_s)
     k2_rows, k2_bytes = gather_model(
-        B2, L, d_seed, step, trips_k2, n_unf_k2, cfg.max_cand, 3,
-        cfg.loc_factor, cfg.sa_rate, locv=locv_on)
-    sol_k2_rps = 1.0 / (k2_rows / B * ns_per_row * 1e-9)
+        B2k, L, d_seed, step, trips_k2, n_unf_k2, cfg.max_cand, 3,
+        k2_lf, cfg.sa_rate, locv=locv_on)
+    sol_k2_rps = 1.0 / (k2_rows / B_k2 * ns_per_row * 1e-9)
 
     # --- CPU reference (golden, interpreted walks) on a sample ---
     t0 = time.time()
@@ -411,11 +504,21 @@ def main():
             "e2e_reads": n_reads_e2e,
             "e2e_sam_mb": round(sam_mb, 1),
             "e2e_overflows": int(e2e_over),
+            "e2e_heals": int(e2e_heals),
+            "e2e_k2_reads_per_s": round(e2e_k2[0], 1),
+            "e2e_k2_wall_s": round(e2e_k2[1], 2),
+            "e2e_k2_reads": e2e_k2[2],
+            "e2e_k2_overflows": int(e2e_k2[4]),
+            "e2e_paired_reads_per_s": round(e2e_pe[0], 1),
+            "e2e_paired_wall_s": round(e2e_pe[1], 2),
+            "e2e_paired_reads": e2e_pe[2],
+            "e2e_paired_overflows": int(e2e_pe[4]),
             "k2_reads_per_s": round(k2_rps, 1),
             "exact_overflow": exact_over,
             "k2_overflow": k2_over,
             "min_trips": mt,
             "exact_loc_factor": exact_lf,
+            "k2_loc_factor": k2_lf,
             "cpu_ref_exact_reads_per_s": round(cpu_exact_rps, 2),
             "cpu_ref_k2_reads_per_s": round(cpu_k2_rps, 2),
             "k2_vs_baseline": round(k2_rps / cpu_k2_rps, 1),
@@ -424,9 +527,9 @@ def main():
             "sol_exact_reads_per_s": round(sol_exact_rps, 1),
             "sol_k2_reads_per_s": round(sol_k2_rps, 1),
             "model_rows_per_read_exact": round(ex_rows / B, 2),
-            "model_rows_per_read_k2": round(k2_rows / B, 2),
+            "model_rows_per_read_k2": round(k2_rows / B_k2, 2),
             "model_bytes_per_read_exact": round(ex_bytes / B, 1),
-            "model_bytes_per_read_k2": round(k2_bytes / B, 1),
+            "model_bytes_per_read_k2": round(k2_bytes / B_k2, 1),
             "hbm_frac_of_byte_bw": round(ex_bytes / B * exact_rps / bw, 5),
             "probe_trips_exact": trips,
             "probe_trips_k2": trips_k2,

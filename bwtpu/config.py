@@ -77,6 +77,17 @@ class EngineConfig:
     # round 3), so the buffer size is a throughput lever; overflow is
     # counted and logged loudly (hits dropped -> raise hit_factor).
     hit_factor: float = 1.0
+    # Self-healing overflow (VERDICT r3 item 3; SURVEY.md §7.4 "no
+    # silent caps", strengthened to "no lost hits"): when any interval /
+    # compaction / hit-buffer capacity overflows, the engine re-runs the
+    # batch with every cap doubled (per retry level, so level l runs at
+    # 2^l x max_hits / max_cand / loc_factor), up to max_heals retries.
+    # Each level compiles one extra program variant on first use; the
+    # common no-overflow path is unchanged. If the final level still
+    # overflows, the affected reads are MARKED (SAM tag xo:i:1 on the
+    # block path) instead of silently truncated.
+    heal_overflow: bool = True
+    max_heals: int = 3
     # k-mer start table depth d: one lookup replaces the first d chained
     # backward-search steps (docs/DESIGN.md). 0 = disabled; None = auto
     # (chosen from genome size at index build: ~log4(n), capped at 12).

@@ -88,6 +88,7 @@ def build_ring_align(
     loc_factor: int = 2,
     backend: str = "jnp",
     debug_checks: bool = False,
+    cap_scale: int = 1,
 ):
     """Compile the ring-rotation align step over the mesh.
 
@@ -130,6 +131,7 @@ def build_ring_align(
                     shard, ra_codes, ra_amb, lens,
                     d=d, max_hits=max_hits, sa_rate=sa_rate,
                     loc_factor=loc_factor, backend=backend,
+                    cap_scale=cap_scale,
                 )
                 upd = jax.lax.dynamic_update_index_in_dim
                 hp = upd(hp, pos, my_shard, 1)
@@ -170,6 +172,7 @@ def build_ring_align(
                     shard, s_ra, s_amb, s_lens, s_off, rw, ab, lm, lens,
                     k=k, d=d, max_loc=max_cand, sa_rate=sa_rate,
                     loc_factor=loc_factor, backend=backend,
+                    cap_scale=cap_scale,
                 )
                 upd = jax.lax.dynamic_update_index_in_dim
                 hc = upd(hc, cand, my_shard, 1)
@@ -220,6 +223,7 @@ def build_ring_align_packed(
     sa_rate: int,
     loc_factor: int = 2,
     backend: str = "jnp",
+    cap_scale: int = 1,
 ):
     """Packed-uniform ring align: only 2-bit packed forward reads rotate
     around the 'shard' ICI ring (16x less link traffic than int32 code
@@ -253,6 +257,7 @@ def build_ring_align_packed(
                 pos, valid, overflow, loc_over = exact_pipeline_packed(
                     shard, rw, ab, L=L, d=d, max_hits=max_hits,
                     sa_rate=sa_rate, loc_factor=loc_factor, backend=backend,
+                    cap_scale=cap_scale,
                 )
                 upd = jax.lax.dynamic_update_index_in_dim
                 hp = upd(hp, pos, my_shard, 1)
@@ -286,7 +291,7 @@ def build_ring_align_packed(
                     inexact_pipeline_packed(
                         shard, rw, ab, L=L, k=k, d=d, max_loc=max_cand,
                         sa_rate=sa_rate, loc_factor=loc_factor,
-                        backend=backend,
+                        backend=backend, cap_scale=cap_scale,
                     )
                 )
                 upd = jax.lax.dynamic_update_index_in_dim
@@ -326,6 +331,7 @@ def build_ring_align_compact(
     loc_factor: float = 2,
     min_trips: int = 0,
     backend: str = "jnp",
+    cap_scale: int = 1,
 ):
     """Flagship ring: packed reads rotate, COMPACTED hits come home in
     one final all-to-all (VERDICT r2 missing #2 / next #2).
@@ -368,7 +374,7 @@ def build_ring_align_compact(
         shard = jax.tree.map(lambda x: x[0], shard)
         my = jax.lax.axis_index("shard")
         b2 = 2 * rw.shape[0]
-        cap = compact_cap(b2, loc_factor)
+        cap = compact_cap(b2, loc_factor, cap_scale)
         Hc = jnp.zeros((S, cap), jnp.int32)
         Hn = jnp.full((S, cap), NM_INVALID, jnp.int32)
         Hs = jnp.zeros((S, cap), jnp.int32)
@@ -383,7 +389,7 @@ def build_ring_align_compact(
                     shard, rw, ab, L=L, d=d, max_hits=max_hits,
                     sa_rate=sa_rate, loc_factor=loc_factor,
                     min_trips=min_trips, backend=backend,
-                    compact_output=True,
+                    compact_output=True, cap_scale=cap_scale,
                 )
             else:
                 cand_c, nm_c, sel, count, overflow, co = (
@@ -391,7 +397,7 @@ def build_ring_align_compact(
                         shard, rw, ab, L=L, k=k, d=d, max_loc=max_cand,
                         sa_rate=sa_rate, loc_factor=loc_factor,
                         min_trips=min_trips, backend=backend,
-                        compact_output=True,
+                        compact_output=True, cap_scale=cap_scale,
                     )
                 )
             upd = jax.lax.dynamic_update_index_in_dim
@@ -493,38 +499,53 @@ class DistEngine:
             )
         return np.asarray(x)
 
-    def _get_fn(self, k: int, d: int):
-        key = (k, d)
+    def _caps(self, k: int, level: int):
+        """Escalated capacities for self-healing overflow (same rule as
+        engine.Engine._caps: every cap doubles per heal level)."""
+        f = 1 << level
+        cfg = self.config
+        mh = cfg.max_hits * f
+        mc = cfg.max_cand * f
+        max_loc = mc if k else mh
+        lf = min(cfg.loc_factor * f, (k + 1) * max_loc)
+        return mh, mc, lf
+
+    def _get_fn(self, k: int, d: int, level: int = 0):
+        mh, mc, lf = self._caps(k, level)
+        key = (k, d, level)
         if key not in self._compiled:
             self._compiled[key] = build_ring_align(
                 self.mesh, k=k, d=d,
-                max_hits=self.config.max_hits, max_cand=self.config.max_cand,
+                max_hits=mh, max_cand=mc,
                 sa_rate=self.config.sa_rate,
-                loc_factor=self.config.loc_factor, backend=self.backend,
-                debug_checks=self.debug_checks,
+                loc_factor=lf, backend=self.backend,
+                debug_checks=self.debug_checks, cap_scale=1 << level,
             )
         return self._compiled[key]
 
-    def _get_packed_fn(self, k: int, d: int, L: int):
-        key = ("packed", k, d, L)
+    def _get_packed_fn(self, k: int, d: int, L: int, level: int = 0):
+        mh, mc, lf = self._caps(k, level)
+        key = ("packed", k, d, L, level)
         if key not in self._compiled:
             self._compiled[key] = build_ring_align_packed(
                 self.mesh, k=k, d=d, L=L,
-                max_hits=self.config.max_hits, max_cand=self.config.max_cand,
+                max_hits=mh, max_cand=mc,
                 sa_rate=self.config.sa_rate,
-                loc_factor=self.config.loc_factor, backend=self.backend,
+                loc_factor=lf, backend=self.backend, cap_scale=1 << level,
             )
         return self._compiled[key]
 
-    def _get_compact_fn(self, k: int, d: int, L: int):
-        key = ("compact", k, d, L)
+    def _get_compact_fn(self, k: int, d: int, L: int, level: int = 0):
+        mh, mc, lf = self._caps(k, level)
+        key = ("compact", k, d, L, level)
         if key not in self._compiled:
             self._compiled[key] = build_ring_align_compact(
                 self.mesh, k=k, d=d, L=L,
-                max_hits=self.config.max_hits, max_cand=self.config.max_cand,
+                max_hits=mh, max_cand=mc,
                 sa_rate=self.config.sa_rate,
-                loc_factor=self.config.loc_factor,
+                loc_factor=lf,
                 min_trips=self.config.min_trips, backend=self.backend,
+                cap_scale=1 << level,
             )
         return self._compiled[key]
 
@@ -540,7 +561,7 @@ class DistEngine:
             .reshape((B2,) + x.shape[1:])
         )
 
-    def _dispatch_packed(self, reads, k: int, L: int):
+    def _dispatch_packed(self, reads, k: int, L: int, level: int = 0):
         lanes = self.n_lanes
         B = len(reads)
         Bp = max(lanes, -(-B // lanes) * lanes)
@@ -561,15 +582,15 @@ class DistEngine:
             d = pick_kmer_depth(self.kmer_depths, L // (k + 1))
         if _shard_occ_step(self.dev.shard) and d >= 1:
             # flagship: compact pipelines in the ring, hits cross once
-            fn = self._get_compact_fn(k, d, L)
+            fn = self._get_compact_fn(k, d, L, level)
             out = fn(self.dev.shard, put2(rw), put2(ab))
-            return ("packed_compact", reads, Bp, k, out)
-        fn = self._get_packed_fn(k, d, L)
+            return ("packed_compact", reads, Bp, k, out, level)
+        fn = self._get_packed_fn(k, d, L, level)
         out = fn(self.dev.shard, put2(rw), put2(ab))
-        return ("packed", reads, Bp, k, out)
+        return ("packed", reads, Bp, k, out, level)
 
-    def _finish_packed(self, handle) -> list[list[Hit]]:
-        _, reads, Bp, k, out = handle
+    def _finish_packed(self, handle):
+        _, reads, Bp, k, out, level = handle
         out = jax.block_until_ready(out)
         B2 = 2 * Bp
         if k == 0:
@@ -579,17 +600,18 @@ class DistEngine:
             pos, nm, valid, overflow, comp_over = out
             nm = self._deinterleave(self._get_local(nm), B2).transpose(1, 0, 2)
         co = int(self._get_local(comp_over).sum())
-        if co:
-            log.warning("dist align (packed): compaction overflow by %d rows", co)
+        ov = self._get_local(overflow)  # (B2_local, S) per-row counts
+        n_over = int((ov.sum(axis=-1) > 0).sum())
         pos = self._deinterleave(self._get_local(pos), B2).transpose(1, 0, 2)
         valid = self._deinterleave(self._get_local(valid), B2).transpose(1, 0, 2)
-        return assemble_hits(
+        hits = assemble_hits(
             reads, Bp, pos, nm, valid,
             [sh.text_len for sh in self.shards],
             [sh.shard_offset for sh in self.shards],
         )
+        return hits, n_over, co
 
-    def _finish_packed_compact(self, handle) -> list[list[Hit]]:
+    def _finish_packed_compact(self, handle):
         """Decode the compact ring's homed hit blocks.
 
         Axis 0 of every output is device-major (data major, shard minor
@@ -597,26 +619,20 @@ class DistEngine:
         compacted hits of device bi's local reads against source shard
         s. Local lane l < b_loc is forward strand (global read row
         bi*b_loc + l), else reverse (row Bp + bi*b_loc + l - b_loc)."""
-        _, reads, Bp, k, out = handle
+        _, reads, Bp, k, out, level = handle
         hc, hn, hs, hcnt, hov, hco = jax.block_until_ready(out)
         n_dev = self.n_lanes  # local devices (this host's blocks only)
         S = self.mesh.shape["shard"]
         b_loc = Bp // n_dev
-        Ct = (k + 1) * self.config.max_cand if k else self.config.max_hits
+        mh, mc, _lf = self._caps(k, level)
+        Ct = (k + 1) * mc if k else mh
         hc = self._get_local(hc).reshape(n_dev, S, -1)
         hn = self._get_local(hn).reshape(n_dev, S, -1)
         hs = self._get_local(hs).reshape(n_dev, S, -1)
         hcnt = self._get_local(hcnt).reshape(n_dev, S)
         co = int(self._get_local(hco).sum())
-        if co:
-            log.warning("dist align (compact): compaction overflow by %d rows", co)
         hov = self._get_local(hov).reshape(n_dev, S, 2 * b_loc)
         n_over = int((hov.sum(axis=1) > 0).sum())
-        if n_over:
-            log.warning(
-                "dist align (compact): %d read-strand rows overflowed "
-                "interval capacity", n_over,
-            )
         s_l, row_l, p_l, m_l = [], [], [], []
         for bi in range(n_dev):
             for s in range(S):
@@ -637,16 +653,17 @@ class DistEngine:
                 m_l.append(nm)
         from bwtpu.engine import _assemble_flat
 
-        return _assemble_flat(
+        hits = _assemble_flat(
             reads, Bp,
             np.concatenate(s_l), np.concatenate(row_l),
             np.concatenate(p_l).astype(np.int64), np.concatenate(m_l),
             [sh.text_len for sh in self.shards],
             [sh.shard_offset for sh in self.shards],
         )
+        return hits, n_over, co
 
     def dispatch_batch(self, reads, k: int | None = None,
-                       packed: bool | None = None):
+                       packed: bool | None = None, _level: int = 0):
         """Encode + launch one batch without materializing results;
         returns a handle for finish_batch. Several handles can be kept
         in flight (the devices execute dispatched programs in order, so
@@ -670,7 +687,7 @@ class DistEngine:
         elif packed and not uniform:
             raise ValueError("packed=True requires uniform-length reads")
         if packed:
-            return self._dispatch_packed(reads, k, L)
+            return self._dispatch_packed(reads, k, L, _level)
         if self.multiprocess:
             raise ValueError(
                 "multi-process runs require uniform-length reads (the "
@@ -688,28 +705,24 @@ class DistEngine:
 
         if k == 0:
             d = pick_kmer_depth(self.kmer_depths, enc.min_len)
-            fn = self._get_fn(k, d)
+            fn = self._get_fn(k, d, _level)
             out = fn(
                 self.dev.shard, put2(enc.ra_codes), put2(enc.ra_amb),
                 put1(enc.lens),
             )
         else:
             d = pick_kmer_depth(self.kmer_depths, enc.min_seed_len)
-            fn = self._get_fn(k, d)
+            fn = self._get_fn(k, d, _level)
             out = fn(
                 self.dev.shard,
                 put2(enc.seed_ra), put2(enc.seed_amb), put1(enc.seed_lens),
                 put1(enc.seed_off), put2(enc.read_words), put2(enc.amb_bits),
                 put2(enc.len_mask), put1(enc.lens),
             )
-        return ("ragged", reads, B, k, out)
+        return ("ragged", reads, B, k, out, _level)
 
-    def finish_batch(self, handle) -> list[list[Hit]]:
-        if handle[0] == "packed_compact":
-            return self._finish_packed_compact(handle)
-        if handle[0] == "packed":
-            return self._finish_packed(handle)
-        _, reads, B, k, out = handle
+    def _finish_ragged(self, handle):
+        _, reads, B, k, out, level = handle
         if k == 0:
             pos, valid, overflow, comp_over = jax.block_until_ready(out)
             nm = None
@@ -718,16 +731,68 @@ class DistEngine:
             nm = np.asarray(nm).transpose(1, 0, 2)
 
         co = int(np.asarray(comp_over).sum())
-        if co:
-            log.warning("dist align: compaction overflow by %d rows", co)
+        ov = np.asarray(overflow)  # (B2, S) per-row counts
+        n_over = int((ov.sum(axis=-1) > 0).sum())
         # (B2, S, H) -> (S, B2, H) to share the assembly helper
         pos = np.asarray(pos).transpose(1, 0, 2)
         valid = np.asarray(valid).transpose(1, 0, 2)
-        return assemble_hits(
+        hits = assemble_hits(
             reads, B, pos, nm, valid,
             [sh.text_len for sh in self.shards],
             [sh.shard_offset for sh in self.shards],
         )
+        return hits, n_over, co
+
+    def _overflow_agreed(self, bad: int) -> int:
+        """Pod-wide overflow total: every process must take the same
+        heal-or-not branch (the healed ring is a different collective
+        program), so the local count is summed across processes with a
+        host allgather (SURVEY.md §5.2 divergence rule)."""
+        if not self.multiprocess:
+            return bad
+        from jax.experimental import multihost_utils
+
+        return int(
+            multihost_utils.process_allgather(np.array([bad])).sum()
+        )
+
+    def finish_batch(self, handle) -> list[list[Hit]]:
+        tag, reads = handle[0], handle[1]
+        k, level = handle[3], handle[5]
+        if tag == "packed_compact":
+            hits, n_over, co = self._finish_packed_compact(handle)
+            packed = True
+        elif tag == "packed":
+            hits, n_over, co = self._finish_packed(handle)
+            packed = True
+        else:
+            hits, n_over, co = self._finish_ragged(handle)
+            packed = False
+        cfg = self.config
+        bad = self._overflow_agreed(n_over + co)
+        if bad and cfg.heal_overflow and level < cfg.max_heals:
+            # self-healing (VERDICT r3 item 3): same batch, doubled caps;
+            # results are a superset, so they replace the originals.
+            # Every process re-dispatches (agreement above), keeping the
+            # collective program sequence identical pod-wide.
+            log.info(
+                "dist align: %d overflowed rows / %d compaction drops — "
+                "healing with 2^%d x caps", n_over, co, level + 1,
+            )
+            return self.finish_batch(
+                self.dispatch_batch(reads, k, packed, _level=level + 1)
+            )
+        if co:
+            log.warning(
+                "dist align: compaction overflow by %d rows after %d "
+                "heals — results may be incomplete", co, level,
+            )
+        if n_over:
+            log.warning(
+                "dist align: %d read-strand rows overflowed interval "
+                "capacity after %d heals", n_over, level,
+            )
+        return hits
 
     def align_batch(
         self, reads, k: int | None = None, packed: bool | None = None

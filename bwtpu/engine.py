@@ -320,11 +320,15 @@ def encode_batch(
 # ---------------------------------------------------------------------------
 
 
-def compact_cap(n_lanes: int, loc_factor) -> int:
+def compact_cap(n_lanes: int, loc_factor, scale: int = 1) -> int:
     """Compacted-stage capacity for a batch of n_lanes read-strand rows.
     Shared by the single-chip pipelines and the ring builder (dist.py)
-    so home-buffer shapes can never drift from the pipeline's."""
-    return max(int(n_lanes * loc_factor), 4096)
+    so home-buffer shapes can never drift from the pipeline's.
+
+    scale (= 2**heal_level) also raises the 4096 floor: small batches
+    sit on the floor, so doubling only loc_factor would leave their cap
+    unchanged and self-healing could never converge."""
+    return max(int(n_lanes * loc_factor), 4096 * scale)
 
 
 def _locate_compacted(shard: Shard, rows, valid, *, sa_rate, cap, backend,
@@ -333,13 +337,19 @@ def _locate_compacted(shard: Shard, rows, valid, *, sa_rate, cap, backend,
 
     When `valid` is the prefix mask of per-lane counts (interval_rows
     output), pass `counts` so the cheaper structured compaction runs
-    (compact_counts — bit-identical sel, skips the full-lane scatter)."""
+    (compact_counts — bit-identical sel, skips the full-lane scatter).
+
+    Returns (pos, loc_over, dropped) — dropped bool[lanes] flags lanes
+    whose candidates were cut by the capacity (None on the generic-mask
+    path), feeding the per-row overflow accounting the self-healing
+    re-dispatch keys on."""
     shape = rows.shape
     flat_rows = rows.reshape(-1)
     if counts is not None:
-        sel, count, loc_over = compact_counts(counts, shape[-1], cap)
+        sel, count, loc_over, dropped = compact_counts(counts, shape[-1], cap)
     else:
         sel, count, loc_over = compact(valid.reshape(-1), cap)
+        dropped = None
     sel_rows = jnp.take(flat_rows, sel)
     sel_valid = jnp.arange(cap, dtype=jnp.int32) < count
     pos_c = locate_rows(
@@ -347,26 +357,34 @@ def _locate_compacted(shard: Shard, rows, valid, *, sa_rate, cap, backend,
         shard.dollar_row, sel_rows, sel_valid, sa_rate, backend=backend,
     )
     pos = scatter_back(pos_c, sel, count, flat_rows.shape[0], fill=-1)
-    return pos.reshape(shape), loc_over
+    return pos.reshape(shape), loc_over, dropped
 
 
 def _exact_finish(shard, sp, ep, fix_over, *, max_hits, sa_rate, loc_factor,
-                  backend):
+                  backend, cap_scale=1):
     """Interval expand -> compacted locate, shared by the search variants."""
     rows, valid, overflow = interval_rows(sp, ep, max_hits)
-    cap = max(int(sp.shape[0] * loc_factor), 4096)
-    pos, loc_over = _locate_compacted(
+    cap = compact_cap(sp.shape[0], loc_factor, cap_scale)
+    pos, loc_over, dropped = _locate_compacted(
         shard, rows, valid, sa_rate=sa_rate, cap=cap, backend=backend,
         counts=ep - sp,
     )
+    if dropped is not None:
+        # compaction drops count as per-row overflow too: the row's
+        # results are incomplete either way, and the healing re-dispatch
+        # treats both identically
+        overflow = overflow + dropped.astype(jnp.int32)
+    # fixup-capacity losses (per-lane, search2._fixup_stragglers) join
+    # the same per-row incompleteness channel
+    overflow = overflow + fix_over
     valid = valid & (pos >= 0)
-    return pos, valid, overflow, loc_over + fix_over
+    return pos, valid, overflow, loc_over
 
 
 def exact_pipeline(
     shard: Shard, ra_codes, ra_amb, lens,
     *, d: int, max_hits: int, sa_rate: int, loc_factor: int = 2,
-    backend: str = "jnp",
+    backend: str = "jnp", cap_scale: int = 1,
 ):
     """Exact path (BASELINE configs 1+3): kmer-start search -> locate.
 
@@ -375,11 +393,11 @@ def exact_pipeline(
     kt = shard.kmer_tables[d] if d > 0 else jnp.zeros((1, 2), jnp.int32)
     sp, ep, fix_over = backward_search_ra(
         shard.lattice, shard.C, shard.dollar_row, shard.n, kt,
-        ra_codes, ra_amb, lens, d, backend=backend,
+        ra_codes, ra_amb, lens, d, backend=backend, cap_scale=cap_scale,
     )
     return _exact_finish(
         shard, sp, ep, fix_over, max_hits=max_hits, sa_rate=sa_rate,
-        loc_factor=loc_factor, backend=backend,
+        loc_factor=loc_factor, backend=backend, cap_scale=cap_scale,
     )
 
 
@@ -387,7 +405,7 @@ def inexact_pipeline(
     shard: Shard, enc_seed_ra, enc_seed_amb, enc_seed_lens, enc_seed_off,
     read_words, amb_bits, len_mask, lens,
     *, k: int, d: int, max_loc: int, sa_rate: int, loc_factor: int = 4,
-    backend: str = "jnp",
+    backend: str = "jnp", cap_scale: int = 1,
 ):
     """Inexact path (config 2): pigeonhole seed-and-extend (SURVEY.md §7.4).
 
@@ -397,6 +415,7 @@ def inexact_pipeline(
     sp, ep, fix_over = backward_search_ra(
         shard.lattice, shard.C, shard.dollar_row, shard.n, kt,
         enc_seed_ra, enc_seed_amb, enc_seed_lens, d, backend=backend,
+        cap_scale=cap_scale,
     )
     empty = enc_seed_lens == 0
     sp = jnp.where(empty, 0, sp)
@@ -404,14 +423,14 @@ def inexact_pipeline(
     return _inexact_from_intervals(
         shard, sp, ep, enc_seed_off, read_words, amb_bits, len_mask, lens,
         k=k, max_loc=max_loc, sa_rate=sa_rate, loc_factor=loc_factor,
-        backend=backend, fix_over=fix_over,
+        backend=backend, fix_over=fix_over, cap_scale=cap_scale,
     )
 
 
 def _inexact_from_intervals(
     shard, sp, ep, enc_seed_off, read_words, amb_bits, len_mask, lens,
     *, k, max_loc, sa_rate, loc_factor, backend, fix_over,
-    compact_output=False,
+    compact_output=False, cap_scale=1,
 ):
     """Seed intervals -> ONE compaction -> locate -> packed verify.
 
@@ -428,15 +447,21 @@ def _inexact_from_intervals(
     nS = k + 1
     Ct = nS * max_loc
     rows, rvalid, overflow_s = interval_rows(sp, ep, max_loc)
-    overflow = overflow_s.reshape(B2, nS).sum(axis=1)
 
     # floor: small batches stopped early can carry several candidates
     # per lane; a few thousand compacted lanes cost almost nothing.
     # loc_factor may be fractional: the compacted stages pay their CAP
     # in gather rows (DESIGN.md), and exact candidates average well
     # under 1/lane, so cap < B2 buys measurable rows/read.
-    cap = compact_cap(B2, loc_factor)
-    sel, count, comp_over = compact_counts(ep - sp, max_loc, cap)
+    cap = compact_cap(B2, loc_factor, cap_scale)
+    sel, count, comp_over, dropped = compact_counts(ep - sp, max_loc, cap)
+    # per-row incompleteness = interval overflow (width > max_loc) OR
+    # compaction drop OR straggler-fixup loss (fix_over, per lane):
+    # either way this row may be missing hits, and the healing
+    # re-dispatch / truncation marking treat them identically
+    overflow = (overflow_s + dropped.astype(jnp.int32) + fix_over).reshape(
+        B2, nS
+    ).sum(axis=1)
     sel_valid = jnp.arange(cap, dtype=jnp.int32) < count
     rows_c = jnp.take(rows.reshape(-1), sel)
     lane = sel // max_loc  # seed-lane id (= read_row * nS + seed_slot)
@@ -485,12 +510,12 @@ def _inexact_from_intervals(
         # single-chip fast path: skip the dense scatter_backs entirely
         # (TPU scatter measured ~163 ns/element — docs/DESIGN.md) and
         # hand the host the compacted hit list to decode
-        return cand_c, nm_c, sel, count, overflow, comp_over + fix_over
+        return cand_c, nm_c, sel, count, overflow, comp_over
     total = B2 * Ct
     cand = scatter_back(cand_c, sel, count, total, fill=-1).reshape(B2, Ct)
     nm = scatter_back(nm_c, sel, count, total, fill=NM_INVALID).reshape(B2, Ct)
     hit_valid = nm <= k
-    return cand, nm, hit_valid, overflow, comp_over + fix_over, jnp.int32(0)
+    return cand, nm, hit_valid, overflow, comp_over, jnp.int32(0)
 
 
 # ---------------------------------------------------------------------------
@@ -589,7 +614,7 @@ def _shard_occ_step(shard: Shard) -> int:
 
 def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
                           sa_rate, loc_factor=2, min_trips=0, backend="jnp",
-                          compact_output=False):
+                          compact_output=False, cap_scale=1):
     step = _shard_occ_step(shard)
     assert not (compact_output and not (step and d >= 1))
     if step and d >= 1:
@@ -606,13 +631,13 @@ def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
         sp, ep, rem, fix_over = search_early_stop_packed(
             shard.lattice, shard.latk, shard.latk_inv, shard.C,
             shard.dollar_row, shard.kmer_tables[d], rw2, ab2, 0, L, d,
-            step, max_hits, min_trips,
+            step, max_hits, min_trips, cap_scale=cap_scale,
         )
         out = _inexact_from_intervals(
             shard, sp, ep, rem, rw2, ab2, lm2, lens2,
             k=0, max_loc=max_hits, sa_rate=sa_rate,
             loc_factor=loc_factor, backend=backend, fix_over=fix_over,
-            compact_output=compact_output,
+            compact_output=compact_output, cap_scale=cap_scale,
         )
         if compact_output:
             return out
@@ -621,13 +646,13 @@ def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
     ra2, raa2, lens2, _, _, _, _ = device_prep_uniform(read_words, amb_bits, L, 0)
     return exact_pipeline(
         shard, ra2, raa2, lens2, d=d, max_hits=max_hits, sa_rate=sa_rate,
-        loc_factor=loc_factor, backend=backend,
+        loc_factor=loc_factor, backend=backend, cap_scale=cap_scale,
     )
 
 
 def inexact_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, max_loc,
                             sa_rate, loc_factor=4, min_trips=0, backend="jnp",
-                            compact_output=False):
+                            compact_output=False, cap_scale=1):
     step = _shard_occ_step(shard)
     assert not (compact_output and not (step and d >= 1))
     if step and d >= 1:
@@ -641,26 +666,27 @@ def inexact_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, max_loc,
         rw2, ab2, lens2, lm2 = device_prep_packed(read_words, amb_bits, L)
         B2 = rw2.shape[0]
         nS = k + 1
-        sps, eps, offs = [], [], []
-        fix_over = jnp.int32(0)
+        sps, eps, offs, fovs = [], [], [], []
         for off, slen in seed_layout(L, nS):
             sp_s, ep_s, rem_s, over = search_early_stop_packed(
                 shard.lattice, shard.latk, shard.latk_inv, shard.C,
                 shard.dollar_row, shard.kmer_tables[d],
                 rw2, ab2, off, slen, d, step, max_loc, min_trips,
+                cap_scale=cap_scale,
             )
             sps.append(sp_s)
             eps.append(ep_s)
             offs.append(off + rem_s)
-            fix_over = fix_over + over
+            fovs.append(over)
         sp = jnp.stack(sps, axis=1).reshape(B2 * nS)
         ep = jnp.stack(eps, axis=1).reshape(B2 * nS)
         seed_off = jnp.stack(offs, axis=1).reshape(B2 * nS)
+        fix_over = jnp.stack(fovs, axis=1).reshape(B2 * nS)
         return _inexact_from_intervals(
             shard, sp, ep, seed_off, rw2, ab2, lm2, lens2,
             k=k, max_loc=max_loc, sa_rate=sa_rate, loc_factor=loc_factor,
             backend=backend, fix_over=fix_over,
-            compact_output=compact_output,
+            compact_output=compact_output, cap_scale=cap_scale,
         )
     _, _, lens2, rw2, ab2, lm2, seeds = device_prep_uniform(
         read_words, amb_bits, L, k
@@ -669,7 +695,7 @@ def inexact_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, max_loc,
     return inexact_pipeline(
         shard, seed_ra, seed_amb, seed_lens, seed_off, rw2, ab2, lm2, lens2,
         k=k, d=d, max_loc=max_loc, sa_rate=sa_rate, loc_factor=loc_factor,
-        backend=backend,
+        backend=backend, cap_scale=cap_scale,
     )
 
 
@@ -695,6 +721,8 @@ class BatchStats:
     hits: int = 0
     overflow_reads: int = 0
     compact_overflows: int = 0
+    heals: int = 0  # self-healing re-dispatches (doubled-cap retries)
+    truncated_reads: int = 0  # reads still capacity-cut after max_heals
     device_s: float = 0.0
     host_s: float = 0.0
 
@@ -718,16 +746,35 @@ class Engine:
         self.stats = BatchStats()
         self._compiled: dict = {}
 
-    def _exact_fn(self, d: int):
-        key = ("exact", d, self.config.max_hits)
+    def _caps(self, k: int, level: int):
+        """Capacity set at heal level `level` (self-healing overflow,
+        VERDICT r3 item 3): every capacity doubles per level, so a batch
+        that overflowed at level l re-runs with 2x caps at l+1 (bounded
+        by config.max_heals). At escalated levels the hit buffer widens
+        to the compaction cap so the hit compaction structurally cannot
+        drop (hover == 0 for level >= 1); loc_factor is clamped so the
+        cap never exceeds the total candidate-slot count."""
+        f = 1 << level
+        cfg = self.config
+        mh = cfg.max_hits * f
+        mc = cfg.max_cand * f
+        max_loc = mc if k else mh
+        nS = k + 1
+        lf = min(cfg.loc_factor * f, nS * max_loc)
+        hf = cfg.hit_factor if level == 0 else lf
+        return mh, mc, lf, hf
+
+    def _exact_fn(self, d: int, level: int = 0):
+        mh, mc, lf, hf = self._caps(0, level)
+        key = ("exact", d, mh, lf)
         if key not in self._compiled:
             cfg, backend = self.config, self.backend
 
             def per_shard(shard, ra_codes, ra_amb, lens):
                 return exact_pipeline(
                     shard, ra_codes, ra_amb, lens,
-                    d=d, max_hits=cfg.max_hits, sa_rate=cfg.sa_rate,
-                    loc_factor=cfg.loc_factor, backend=backend,
+                    d=d, max_hits=mh, sa_rate=cfg.sa_rate,
+                    loc_factor=lf, backend=backend, cap_scale=1 << level,
                 )
 
             # NOTE: shards are iterated, not vmapped — vmap over
@@ -737,22 +784,23 @@ class Engine:
             self._compiled[key] = jax.jit(per_shard)
         return self._compiled[key]
 
-    def _inexact_fn(self, k: int, d: int):
-        key = ("inexact", k, d, self.config.max_cand)
+    def _inexact_fn(self, k: int, d: int, level: int = 0):
+        mh, mc, lf, hf = self._caps(k, level)
+        key = ("inexact", k, d, mc, lf)
         if key not in self._compiled:
             cfg, backend = self.config, self.backend
 
             def per_shard(shard, s_ra, s_amb, s_lens, s_off, rw, ab, lm, lens):
                 return inexact_pipeline(
                     shard, s_ra, s_amb, s_lens, s_off, rw, ab, lm, lens,
-                    k=k, d=d, max_loc=cfg.max_cand, sa_rate=cfg.sa_rate,
-                    loc_factor=cfg.loc_factor, backend=backend,
+                    k=k, d=d, max_loc=mc, sa_rate=cfg.sa_rate,
+                    loc_factor=lf, backend=backend, cap_scale=1 << level,
                 )
 
             self._compiled[key] = jax.jit(per_shard)
         return self._compiled[key]
 
-    def dispatch_batch(self, reads: list[Read], k: int):
+    def dispatch_batch(self, reads: list[Read], k: int, _level: int = 0):
         """Encode + launch device work for one batch; returns a handle.
 
         Device results stay on-device until finish_batch — callers can
@@ -762,6 +810,10 @@ class Engine:
         path: only 2-bit packed forward reads cross the host-device
         link (~0.5 MB / 8 K reads); everything else is derived on
         device (device_prep_uniform).
+
+        _level: self-healing escalation level — all capacities run at
+        2**_level x their configured values (finish_batch re-dispatches
+        on overflow).
         """
         shard = self.dev.shard
         S = self.dev.n_shards
@@ -784,23 +836,24 @@ class Engine:
             # ~163 ns/element — docs/DESIGN.md); needs the multi-step path
             compact = bool(_shard_occ_step(shard) and d >= 1)
             kind = "exact" if k == 0 else "inexact"
-            fn = self._packed_fn(kind, k, d, L, compact)
+            fn = self._packed_fn(kind, k, d, L, compact, level=_level)
             for s in range(S):
                 sh_s = jax.tree.map(lambda x: x[s], shard)
                 shard_outs.append(fn(sh_s, rw, ab))
             mode = "compact" if compact else "dense"
-            return (reads, B, k, shard_outs, time.perf_counter(), mode)
+            return (reads, B, k, shard_outs, time.perf_counter(), mode,
+                    _level)
 
         enc, B = encode_batch(self.config, reads, k)
         if k == 0:
             d = pick_kmer_depth(self.kmer_depths, enc.min_len)
-            fn = self._exact_fn(d)
+            fn = self._exact_fn(d, level=_level)
             for s in range(S):
                 sh_s = jax.tree.map(lambda x: x[s], shard)
                 shard_outs.append(fn(sh_s, enc.ra_codes, enc.ra_amb, enc.lens))
         else:
             d = pick_kmer_depth(self.kmer_depths, enc.min_seed_len)
-            fn = self._inexact_fn(k, d)
+            fn = self._inexact_fn(k, d, level=_level)
             for s in range(S):
                 sh_s = jax.tree.map(lambda x: x[s], shard)
                 shard_outs.append(
@@ -810,13 +863,16 @@ class Engine:
                         enc.len_mask, enc.lens,
                     )
                 )
-        return (reads, B, k, shard_outs, time.perf_counter(), "dense")
+        return (reads, B, k, shard_outs, time.perf_counter(), "dense",
+                _level)
 
     def _packed_fn(self, kind: str, k: int, d: int, L: int, compact: bool,
-                   hits_output: bool = False, vmapped: bool = False):
+                   hits_output: bool = False, vmapped: bool = False,
+                   level: int = 0):
+        mh, mc, lf, hf = self._caps(k if kind != "exact" else 0, level)
         key = (
             "packed", kind, k, d, L, compact, hits_output, vmapped,
-            self.config.max_hits, self.config.max_cand,
+            mh, mc, lf, hf,
         )
         if key not in self._compiled:
             cfg, backend = self.config, self.backend
@@ -824,19 +880,19 @@ class Engine:
 
                 def pipe(shard, rw, ab):
                     return exact_pipeline_packed(
-                        shard, rw, ab, L=L, d=d, max_hits=cfg.max_hits,
-                        sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor,
+                        shard, rw, ab, L=L, d=d, max_hits=mh,
+                        sa_rate=cfg.sa_rate, loc_factor=lf,
                         min_trips=cfg.min_trips, backend=backend,
-                        compact_output=compact,
+                        compact_output=compact, cap_scale=1 << level,
                     )
             else:
 
                 def pipe(shard, rw, ab):
                     return inexact_pipeline_packed(
-                        shard, rw, ab, L=L, k=k, d=d, max_loc=cfg.max_cand,
-                        sa_rate=cfg.sa_rate, loc_factor=cfg.loc_factor,
+                        shard, rw, ab, L=L, k=k, d=d, max_loc=mc,
+                        sa_rate=cfg.sa_rate, loc_factor=lf,
                         min_trips=cfg.min_trips, backend=backend,
-                        compact_output=compact,
+                        compact_output=compact, cap_scale=1 << level,
                     )
 
             fn = pipe
@@ -860,7 +916,7 @@ class Engine:
                     # relay is the scarce resource (~27 MB/s, DESIGN.md)
                     hit_cap = min(
                         sel.shape[0],
-                        compact_cap(2 * rw.shape[0], cfg.hit_factor),
+                        compact_cap(2 * rw.shape[0], hf, 1 << level),
                     )
                     sel2, cnt2, hover = compact_mask(keep, hit_cap)
                     # ONE row gather for the whole payload: separate
@@ -870,32 +926,73 @@ class Engine:
                     # (docs/DESIGN.md "stage attribution, round 3")
                     payload = jnp.stack([cand_c, sel * 4 + nm_c], axis=1)
                     out2 = jnp.take(payload, sel2, axis=0)
+                    # packed per-row overflow bitmap (one bit per read-
+                    # strand row, incl. compaction drops): ~B2/8 bytes
+                    # riding the one fetch, so the healing re-dispatch
+                    # and final truncation marking know WHICH reads are
+                    # affected without a second round trip
+                    B2 = overflow.shape[0]
+                    nw = -(-B2 // 32)
+                    ovb = jnp.zeros(nw * 32, jnp.uint32).at[:B2].set(
+                        (overflow > 0).astype(jnp.uint32)
+                    )
+                    ovbm = jnp.sum(
+                        ovb.reshape(nw, 32)
+                        << jnp.arange(32, dtype=jnp.uint32)[None, :],
+                        axis=1,
+                    ).astype(jnp.int32)
                     # entries >= cnt2 are garbage; the host slices first
                     return (out2[:, 0], out2[:, 1], cnt2,
-                            (overflow > 0).sum(), co, hover)
+                            (overflow > 0).sum(), co, hover, ovbm)
 
             if vmapped:
                 fn = jax.vmap(fn, in_axes=(0, None, None))
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
 
+    def _maybe_heal_batch(self, reads, k, overflow, compact_over, level):
+        """Self-healing re-dispatch (VERDICT r3 item 3): when any row
+        overflowed a capacity (interval / compaction / fixup) and heal
+        levels remain, re-run the whole batch with every cap doubled.
+        Retried results are a strict superset (caps only grow), so they
+        simply replace the originals. Returns the healed hits or None."""
+        n_over = int((overflow.sum(axis=0) > 0).sum())
+        cfg = self.config
+        if (n_over or compact_over) and cfg.heal_overflow and (
+            level < cfg.max_heals
+        ):
+            self.stats.heals += 1
+            log.info(
+                "align_batch: %d overflowed rows / %d compaction drops — "
+                "healing with 2^%d x caps", n_over, compact_over, level + 1,
+            )
+            return self.finish_batch(
+                self.dispatch_batch(reads, k, _level=level + 1)
+            )
+        return None
+
     def finish_batch(self, handle) -> list[list[Hit]]:
-        reads, B, k, shard_outs, t_disp, mode = handle
+        reads, B, k, shard_outs, t_disp, mode, level = handle
         t1 = time.perf_counter()
+        mh, mc, lf, hf = self._caps(k, level)
+        Ct = (k + 1) * mc if k else mh
         if mode == "compact":
             # (cand_c, nm_c, sel, count, overflow, comp_over) per shard
-            Ct = (k + 1) * self.config.max_cand if k else self.config.max_hits
             shard_comp = [
                 tuple(np.asarray(o[i]) for i in range(4)) for o in shard_outs
             ]
             overflow = np.stack([np.asarray(o[4]) for o in shard_outs])
             compact_over = sum(int(np.asarray(o[5])) for o in shard_outs)
             self.stats.device_s += time.perf_counter() - t_disp
+            healed = self._maybe_heal_batch(reads, k, overflow, compact_over,
+                                            level)
+            if healed is not None:
+                return healed
             if compact_over:
                 log.warning(
-                    "align_batch: compaction capacity overflowed by %d rows; "
-                    "results may be incomplete — raise loc_factor",
-                    compact_over,
+                    "align_batch: compaction capacity overflowed by %d rows "
+                    "after %d heals; results may be incomplete — raise "
+                    "loc_factor or max_heals", compact_over, level,
                 )
             out = assemble_hits_compact(
                 reads, B, shard_comp, k, Ct,
@@ -918,6 +1015,9 @@ class Engine:
                 int(np.asarray(o[4])) + int(np.asarray(o[5])) for o in shard_outs
             )
         self.stats.device_s += time.perf_counter() - t_disp
+        healed = self._maybe_heal_batch(reads, k, overflow, compact_over, level)
+        if healed is not None:
+            return healed
         return self._assemble(reads, B, pos, nm, valid, overflow, compact_over, t1)
 
     def align_batch(self, reads: list[Read], k: int | None = None) -> list[list[Hit]]:
@@ -930,11 +1030,14 @@ class Engine:
     # ---- columnar fast path (production FASTQ->SAM, VERDICT r2 #1) ----
 
     def dispatch_block(self, block, k: int | None = None,
-                       pad_to: int | None = None):
+                       pad_to: int | None = None, _level: int = 0):
         """Dispatch a uniform-length columnar ReadBlock (bwtpu.readblock)
         on the packed pipelines. pad_to keeps batch shapes static across
         a stream (one compiled program); pad rows are all-ambiguous so
         they die in the first search step, and finish_block drops them.
+
+        _level: self-healing escalation level (caps x 2**_level);
+        finish_block re-dispatches on overflow.
         """
         k = self.config.k if k is None else k
         L = block.L
@@ -954,7 +1057,8 @@ class Engine:
         d = pick_kmer_depth(self.kmer_depths, L if k == 0 else L // (k + 1))
         compact = bool(_shard_occ_step(self.dev.shard) and d >= 1)
         kind = "exact" if k == 0 else "inexact"
-        Ct = (k + 1) * self.config.max_cand if k else self.config.max_hits
+        mh, mc, lf, hf = self._caps(k, _level)
+        Ct = (k + 1) * mc if k else mh
         # hits mode packs (sel, nm) into one int32: sel*4 + nm
         hits = compact and 2 * Bp * Ct * 4 < 2**31
         if hits and self.backend == "jnp":
@@ -964,29 +1068,41 @@ class Engine:
             # Mosaic vmap restriction only applies to the pallas
             # backend (engine._exact_fn NOTE).
             vfn = self._packed_fn(kind, k, d, L, compact, hits_output=True,
-                                  vmapped=True)
+                                  vmapped=True, level=_level)
             out = vfn(self.dev.shard, rw, ab)
             return ("block", block, Bp, k, ("stacked", out),
-                    time.perf_counter(), "hits")
-        fn = self._packed_fn(kind, k, d, L, compact, hits_output=hits)
+                    time.perf_counter(), "hits", _level)
+        fn = self._packed_fn(kind, k, d, L, compact, hits_output=hits,
+                             level=_level)
         shard_outs = []
         for s in range(self.dev.n_shards):
             sh_s = jax.tree.map(lambda x: x[s], self.dev.shard)
             shard_outs.append(fn(sh_s, rw, ab))
         mode = "hits" if hits else ("compact" if compact else "dense")
-        return ("block", block, Bp, k, shard_outs, time.perf_counter(), mode)
+        return ("block", block, Bp, k, shard_outs, time.perf_counter(), mode,
+                _level)
 
     def finish_block(self, handle):
         """Materialize a dispatch_block handle -> results.FlatHits.
 
         Compact mode fetches the live count per shard first, then only
         the live prefix of each compacted array — device-to-host bytes
-        scale with actual hits, not the static capacity."""
+        scale with actual hits, not the static capacity.
+
+        Self-healing (VERDICT r3 item 3): any capacity overflow triggers
+        a re-dispatch of the same block with doubled caps (bounded by
+        config.max_heals); if the final level still overflows, the
+        affected reads are flagged in FlatHits.truncated and the SAM
+        emitters mark them with an xo:i:1 tag."""
         from bwtpu.results import flatten_hits
 
-        tag, block, Bp, k, shard_outs, t_disp, mode = handle
+        tag, block, Bp, k, shard_outs, t_disp, mode, level = handle
         assert tag == "block"
-        Ct = (k + 1) * self.config.max_cand if k else self.config.max_hits
+        mh, mc, lf, hf = self._caps(k, level)
+        Ct = (k + 1) * mc if k else mh
+        cfg = self.config
+        can_heal = cfg.heal_overflow and level < cfg.max_heals
+        trunc_rows = None  # bool[2*Bp] at the final level, else None
         if mode == "hits":
             # ONE device_get total (stacked) or per shard: fixed-shape
             # hit arrays + scalars — count rides along; no pre-sync, no
@@ -996,53 +1112,70 @@ class Engine:
             compact_over = 0
             hit_over = 0
             if isinstance(shard_outs, tuple) and shard_outs[0] == "stacked":
-                hc_s, hm_s, cnt_s, ov_s, co_s, ho_s = jax.device_get(
+                hc_s, hm_s, cnt_s, ov_s, co_s, ho_s, bm_s = jax.device_get(
                     shard_outs[1]
                 )
                 per_shard = [
                     (hc_s[s], hm_s[s], int(cnt_s[s]), int(ov_s[s]),
-                     int(co_s[s]), int(ho_s[s]))
+                     int(co_s[s]), int(ho_s[s]), bm_s[s])
                     for s in range(hc_s.shape[0])
                 ]
             else:
                 per_shard = []
                 for o in shard_outs:
-                    hc, hm, cnt, ov, co, ho = jax.device_get(o)
+                    hc, hm, cnt, ov, co, ho, bm = jax.device_get(o)
                     per_shard.append((hc, hm, int(cnt), int(ov), int(co),
-                                      int(ho)))
-            for hc, hm, cnt, ov, co, ho in per_shard:
+                                      int(ho), bm))
+            bm_or = None
+            for hc, hm, cnt, ov, co, ho, bm in per_shard:
                 hm = hm[:cnt]
                 shard_comp.append((hc[:cnt], hm % 4, hm // 4, cnt))
                 n_over += ov
                 compact_over += co
                 hit_over += ho
+                bm_or = bm if bm_or is None else (bm_or | bm)
+            self.stats.device_s += time.perf_counter() - t_disp
+            if (n_over or compact_over or hit_over) and can_heal:
+                return self._heal_block(block, k, Bp, level, n_over,
+                                        compact_over + hit_over)
+            if n_over and bm_or is not None:
+                bits = (
+                    (bm_or.astype(np.uint32)[:, None]
+                     >> np.arange(32, dtype=np.uint32)[None, :]) & 1
+                ).reshape(-1)
+                trunc_rows = bits[: 2 * Bp].astype(bool)
             if hit_over:
                 log.warning(
-                    "align block: hit buffer overflowed by %d hits — "
-                    "results incomplete; raise config.hit_factor",
-                    hit_over,
+                    "align block: hit buffer overflowed by %d hits after "
+                    "%d heals — results incomplete; raise config.hit_factor",
+                    hit_over, level,
                 )
                 self.stats.compact_overflows += hit_over
-            self.stats.device_s += time.perf_counter() - t_disp
             t1 = time.perf_counter()
             s_idx, row_idx, p, m = compact_to_columns(shard_comp, k, Ct)
         elif mode == "compact":
             shard_comp = []
             n_over = 0
             compact_over = 0
+            ov_rows = None
             for o in shard_outs:
                 cand_c, nm_c, sel, count, overflow, co = o
                 cnt = int(np.asarray(count))
                 # one grouped transfer (each np.asarray is a separate
                 # relay round trip; the relay adds ~17 ms per sync)
-                cand_np, nm_np, sel_np, ov, co_ = jax.device_get(
-                    (cand_c[:cnt], nm_c[:cnt], sel[:cnt],
-                     (overflow > 0).sum(), co)
+                cand_np, nm_np, sel_np, ovr, co_ = jax.device_get(
+                    (cand_c[:cnt], nm_c[:cnt], sel[:cnt], overflow > 0, co)
                 )
                 shard_comp.append((cand_np, nm_np, sel_np, cnt))
-                n_over += int(ov)
+                n_over += int(ovr.sum())
+                ov_rows = ovr if ov_rows is None else (ov_rows | ovr)
                 compact_over += int(co_)
             self.stats.device_s += time.perf_counter() - t_disp
+            if (n_over or compact_over) and can_heal:
+                return self._heal_block(block, k, Bp, level, n_over,
+                                        compact_over)
+            if n_over:
+                trunc_rows = np.asarray(ov_rows, dtype=bool)
             t1 = time.perf_counter()
             s_idx, row_idx, p, m = compact_to_columns(shard_comp, k, Ct)
         else:
@@ -1062,26 +1195,42 @@ class Engine:
                     for o in shard_outs
                 )
             self.stats.device_s += time.perf_counter() - t_disp
+            ov_rows = overflow.sum(axis=0) > 0
+            n_over = int(ov_rows.sum())
+            if (n_over or compact_over) and can_heal:
+                return self._heal_block(block, k, Bp, level, n_over,
+                                        compact_over)
+            if n_over:
+                trunc_rows = ov_rows
             t1 = time.perf_counter()
-            n_over = int(((overflow.sum(axis=0)) > 0).sum())
             s_idx, row_idx, p, m = dense_to_columns(pos, nm, valid)
         if compact_over:
             log.warning(
-                "align block: compaction capacity overflowed by %d rows; "
-                "results may be incomplete — raise loc_factor/max_cand",
-                compact_over,
+                "align block: compaction capacity overflowed by %d rows "
+                "after %d heals; affected reads are marked truncated — "
+                "raise loc_factor/max_cand or max_heals",
+                compact_over, level,
             )
         if n_over:
             log.warning(
                 "align block: %d read-strand rows overflowed interval "
-                "capacity (max_hits=%d, max_cand=%d)",
-                n_over, self.config.max_hits, self.config.max_cand,
+                "capacity after %d heals (max_hits=%d, max_cand=%d); "
+                "affected reads are marked truncated",
+                n_over, level, mh, mc,
             )
         flat = flatten_hits(
             block.n, block.L, Bp, s_idx, row_idx, p, m,
             [sh.text_len for sh in self.shards],
             [sh.shard_offset for sh in self.shards],
         )
+        if trunc_rows is not None:
+            # read-strand rows -> per-read flags ([0,Bp) fwd, [Bp,2Bp) rev)
+            tr = np.zeros(block.n, dtype=bool)
+            rows = np.flatnonzero(trunc_rows) % Bp
+            rows = rows[rows < block.n]
+            tr[rows] = True
+            flat = flat._replace(truncated=tr)
+            self.stats.truncated_reads += int(tr.sum())
         t2 = time.perf_counter()
         self.stats.reads += block.n
         self.stats.hits += len(flat.read_idx)
@@ -1089,6 +1238,17 @@ class Engine:
         self.stats.compact_overflows += compact_over
         self.stats.host_s += t2 - t1
         return flat
+
+    def _heal_block(self, block, k, Bp, level, n_over, compact_over):
+        """Re-dispatch a block with doubled caps (self-healing)."""
+        self.stats.heals += 1
+        log.info(
+            "align block: %d overflowed rows / %d compaction drops — "
+            "healing with 2^%d x caps", n_over, compact_over, level + 1,
+        )
+        return self.finish_block(
+            self.dispatch_block(block, k, pad_to=Bp, _level=level + 1)
+        )
 
     def _assemble(self, reads, B, pos, nm, valid, overflow, compact_over, t1):
         if compact_over:

@@ -52,12 +52,20 @@ def compact_counts(counts: jnp.ndarray, H: int, capacity: int):
     the per-slot ``cum[owner]`` element gather — element gathers cost a
     full row fetch each on this stack (docs/DESIGN.md gather table;
     stage attribution round 3). Bit-identical sel/count/overflow.
+
+    Returns (sel, count, overflow, dropped) — dropped bool[Nlanes]
+    flags lanes whose slots did not all fit the capacity, the per-lane
+    information the self-healing re-dispatch and the per-read truncation
+    marking need (SURVEY.md §7.4 "no silent caps", strengthened by
+    VERDICT r3 item 3 to "no lost hits"). Pure elementwise on already-
+    computed cum/c, so it costs nothing on the common path.
     """
     c = jnp.clip(counts.astype(jnp.int32), 0, H)
     cum = jnp.cumsum(c) - c  # exclusive prefix: first output slot per lane
     total = cum[-1] + c[-1]
     count = jnp.minimum(total, capacity)
     overflow = jnp.maximum(total - capacity, 0)
+    dropped = (c > 0) & (cum + c > capacity)
     lane_ids = jnp.arange(c.shape[0], dtype=jnp.int32)
     start = jnp.where(c > 0, cum, capacity)  # empty lanes never own a slot
     base = jnp.zeros(capacity, dtype=jnp.int32).at[start].max(
@@ -66,7 +74,7 @@ def compact_counts(counts: jnp.ndarray, H: int, capacity: int):
     base = jax.lax.cummax(base)
     i = jnp.arange(capacity, dtype=jnp.int32)
     sel = jnp.where(i < count, base + i, 0)
-    return sel, count.astype(jnp.int32), overflow.astype(jnp.int32)
+    return sel, count.astype(jnp.int32), overflow.astype(jnp.int32), dropped
 
 
 def scatter_back(

@@ -26,7 +26,7 @@ import numpy as np
 from bwtpu.kernels import common
 
 
-@partial(jax.jit, static_argnames=("d", "backend"))
+@partial(jax.jit, static_argnames=("d", "backend", "cap_scale"))
 def backward_search_ra(
     lattice: jnp.ndarray,  # int32[n_blocks+1, 16]
     C: jnp.ndarray,  # int32[8]
@@ -38,11 +38,14 @@ def backward_search_ra(
     lens: jnp.ndarray,  # int32[B]; caller guarantees lens >= d or len==0
     d: int,
     backend: str = "jnp",
+    cap_scale: int = 1,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (sp, ep, fixup_overflow): per-read half-open interval
-    plus the number of straggler lanes beyond fixup capacity (those
-    lanes are forced empty rather than returning garbage; the count is
-    propagated so callers can surface it — no silent caps)."""
+    plus a PER-LANE int32[B] flag of straggler lanes beyond fixup
+    capacity (those lanes are forced empty rather than returning
+    garbage; the flags are propagated so callers can surface, heal and
+    mark them — no silent caps). cap_scale multiplies the fixup
+    capacity (self-healing escalation, engine._caps)."""
     B, L = ra_codes.shape
     if d > 0:
         # key of the last d bases (static slice thanks to right alignment)
@@ -95,6 +98,7 @@ def backward_search_ra(
     return _fixup_stragglers(
         lattice, C, dollar_row, kmer_table, ra_codes, ra_amb, lens,
         sp0, ep0, sp, ep, strag, d,
+        cap=min(B, max(256, B // 8) * cap_scale),
     )
 
 
@@ -125,7 +129,11 @@ def _two_gather_search(lattice, C, dollar_row, ra_codes, ra_amb, lens,
 
 def _fixup_stragglers(lattice, C, dollar_row, kmer_table, ra_codes, ra_amb,
                       lens, sp0, ep0, sp, ep, strag, d, cap=None):
-    """Re-run flagged lanes with the two-gather path (compacted)."""
+    """Re-run flagged lanes with the two-gather path (compacted).
+
+    Returns (sp, ep, over_lane int32[B]) — over_lane flags the lanes
+    beyond fixup capacity (forced empty; per-lane so the self-healing
+    re-dispatch and truncation marking know which reads are affected)."""
     from bwtpu.kernels.compact import compact
 
     B, L = ra_codes.shape
@@ -152,12 +160,12 @@ def _fixup_stragglers(lattice, C, dollar_row, kmer_table, ra_codes, ra_amb,
     sp, ep = jax.lax.cond(n_strag > 0, fixup, lambda a: a, (sp, ep))
     # Lanes the fixup could not cover (capacity overflow) would be
     # wrong: force them empty rather than return garbage and surface
-    # the count. (overflow > 0 is pathological: > B/8 lanes all sitting
-    # on > 128-wide repeat intervals.)
+    # them per lane. (overflow > 0 is pathological: > cap lanes all
+    # sitting on > 128-wide repeat intervals.)
     over_lane = strag & (jnp.cumsum(strag.astype(jnp.int32)) > cap)
     sp = jnp.where(over_lane, 0, sp)
     ep = jnp.where(over_lane, 0, ep)
-    return sp, ep, overflow
+    return sp, ep, over_lane.astype(jnp.int32)
 
 
 def _fixup_stragglers_packed(lattice, C, dollar_row, words, amb_bits,
@@ -166,7 +174,7 @@ def _fixup_stragglers_packed(lattice, C, dollar_row, words, amb_bits,
     """_fixup_stragglers for 2-bit packed inputs: gather the flagged
     lanes' packed rows, unpack ONLY those (cap lanes, not the batch —
     kernels/prep.py rationale), then run the two-gather chain on the
-    slice [off, off+slen)."""
+    slice [off, off+slen). Same (sp, ep, over_lane) contract."""
     from bwtpu.kernels.compact import compact
     from bwtpu.kernels.prep import unpack_slice
 
@@ -198,7 +206,7 @@ def _fixup_stragglers_packed(lattice, C, dollar_row, words, amb_bits,
     over_lane = strag & (jnp.cumsum(strag.astype(jnp.int32)) > cap)
     sp = jnp.where(over_lane, 0, sp)
     ep = jnp.where(over_lane, 0, ep)
-    return sp, ep, overflow
+    return sp, ep, over_lane.astype(jnp.int32)
 
 
 def right_align(codes: np.ndarray, amb: np.ndarray, lens: np.ndarray):

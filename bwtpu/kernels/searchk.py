@@ -178,7 +178,7 @@ def backward_searchk_uniform(
 
 
 @partial(jax.jit, static_argnames=("L", "d", "step", "stop_width",
-                                   "with_stats"))
+                                   "with_stats", "cap_scale"))
 def search_early_stop_uniform(
     lattice: jnp.ndarray,
     latk: jnp.ndarray,
@@ -193,6 +193,7 @@ def search_early_stop_uniform(
     step: int,
     stop_width: int,
     with_stats: bool = False,
+    cap_scale: int = 1,
 ) -> tuple[jnp.ndarray, ...]:
     """Backward search that stops each lane once ep - sp <= stop_width.
 
@@ -202,8 +203,9 @@ def search_early_stop_uniform(
     (candidates of a partial suffix are a superset of the true hits).
     Lanes that never narrow (repeats) or straggle finish on the
     compacted 1-step two-gather path with remaining == 0 (their
-    intervals are exact). overflow counts lanes beyond that path's
-    capacity (forced empty, never silent).
+    intervals are exact). overflow flags the lanes beyond that path's
+    capacity PER LANE (int32[B]; forced empty, never silent — the
+    self-healing re-dispatch raises cap_scale and marks survivors).
 
     with_stats=True (a separate compilation; never the production
     path) appends (trips, n_unfinished): the executed multi-step trip
@@ -230,7 +232,8 @@ def search_early_stop_uniform(
     stopped = (ep0 - sp0) <= stop_width
     sp, ep = sp0, ep0
 
-    cap = max(256, B // 64)  # compacted-finisher capacity
+    # compacted-finisher capacity (cap_scale = healing escalation)
+    cap = min(B, max(256, B // 64) * cap_scale)
     if T > 0:
         t_all, a_all = _smer_codes(codes[:, p:], amb[:, p:], B, T, step)
 
@@ -286,7 +289,7 @@ def search_early_stop_uniform(
 
 
 @partial(jax.jit, static_argnames=("off", "L", "d", "step", "stop_width",
-                                   "min_trips", "with_stats"))
+                                   "min_trips", "with_stats", "cap_scale"))
 def search_early_stop_packed(
     lattice: jnp.ndarray,
     latk: jnp.ndarray,
@@ -303,6 +306,7 @@ def search_early_stop_packed(
     stop_width: int,
     min_trips: int = 0,
     with_stats: bool = False,
+    cap_scale: int = 1,
 ) -> tuple[jnp.ndarray, ...]:
     """search_early_stop_uniform on 2-bit PACKED rows (the production
     prep path): the k-mer start key, the per-trip s-mer codes and the
@@ -348,7 +352,8 @@ def search_early_stop_packed(
     stopped = may_stop0
     sp, ep = sp0, ep0
 
-    cap = max(256, B // 64)  # compacted-finisher capacity
+    # compacted-finisher capacity (cap_scale = healing escalation)
+    cap = min(B, max(256, B // 64) * cap_scale)
     if T > 0:
         t_all, a_all = prep.smer_codes_packed(words, amb_bits, off + p,
                                               T, step)

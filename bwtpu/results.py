@@ -31,6 +31,10 @@ class FlatHits(NamedTuple):
     strand_rev: np.ndarray  # bool[n_hits]
     nm: np.ndarray  # int32[n_hits]
     n_reads: int
+    # bool[n_reads] reads whose results are still capacity-truncated
+    # after the engine's bounded self-healing retries (engine.finish_
+    # block); None = no truncation. SAM emitters tag these xo:i:1.
+    truncated: np.ndarray | None = None
 
 
 class Primary(NamedTuple):
@@ -168,11 +172,14 @@ def split_flat(flat: FlatHits, n1: int) -> tuple[FlatHits, FlatHits]:
     mate 2) into per-mate FlatHits; read_idx is non-decreasing, so the
     split is one searchsorted."""
     cut = int(np.searchsorted(flat.read_idx, n1))
+    t1 = t2 = None
+    if flat.truncated is not None:
+        t1, t2 = flat.truncated[:n1], flat.truncated[n1:]
     f1 = FlatHits(flat.read_idx[:cut], flat.pos[:cut],
-                  flat.strand_rev[:cut], flat.nm[:cut], n1)
+                  flat.strand_rev[:cut], flat.nm[:cut], n1, t1)
     f2 = FlatHits((flat.read_idx[cut:] - n1).astype(np.int32),
                   flat.pos[cut:], flat.strand_rev[cut:], flat.nm[cut:],
-                  flat.n_reads - n1)
+                  flat.n_reads - n1, t2)
     return f1, f2
 
 

@@ -36,16 +36,19 @@ def _out_buf(cap: int) -> np.ndarray:
 
 
 def _native_fmt():
-    """The shared library with bwtpu_sam_format configured, or None."""
+    """The shared library with bwtpu_sam_format2 configured, or None.
+    (The v2 symbol adds the truncation-tag column; a stale .so with only
+    the v1 symbol fails attribute lookup and is rebuilt — never called
+    with a mismatched signature.)"""
     global _fmt_ready
     lib = sais._load_native()
     if lib is None:
         return None
     if not _fmt_ready:
         try:
-            fn = lib.bwtpu_sam_format
+            fn = lib.bwtpu_sam_format2
         except AttributeError:
-            # stale .so predating samfmt.cc — rebuild once
+            # stale .so predating samfmt.cc v2 — rebuild once
             import os
             import subprocess
 
@@ -58,7 +61,7 @@ def _native_fmt():
                 lib = ctypes.CDLL(sais._SO)
                 with sais._lock:
                     sais._lib = lib
-                fn = lib.bwtpu_sam_format
+                fn = lib.bwtpu_sam_format2
             except Exception as e:
                 log.warning("samfmt native rebuild failed (%s); Python fallback", e)
                 return None
@@ -69,7 +72,7 @@ def _native_fmt():
         fn.argtypes = [
             u8p, i64p, u8p, u8p, ctypes.c_int32, ctypes.c_int64,
             u8p, i32p, i32p, i64p, i32p, i32p, i64p, i64p, i32p, u8p,
-            u8p, i64p, u8p, ctypes.c_int64,
+            u8p, u8p, i64p, u8p, ctypes.c_int64,
         ]
         _fmt_ready = True
     return lib
@@ -89,9 +92,12 @@ def format_records(
     revcomp: np.ndarray,
     ctable: ContigTable,
     force_python: bool = False,
+    trunc: np.ndarray | None = None,
 ) -> bytes:
     """Low-level columnar record formatter (SAM field layout pinned by
-    bwtpu/sam.py::_record)."""
+    bwtpu/sam.py::_record). trunc (bool[n] or None) appends an xo:i:1
+    tag to reads still capacity-truncated after self-healing retries
+    (engine.finish_block; VERDICT r3 item 3)."""
     n, L = block.n, block.L
     lib = None if force_python else _native_fmt()
     if lib is not None:
@@ -99,7 +105,7 @@ def format_records(
         if rn_blob.size == 0:
             rn_blob = np.zeros(1, dtype=np.uint8)
         max_rn = int(np.max(np.diff(ctable.name_off), initial=1))
-        cap = int(block.id_blob.size) + n * (2 * L + max_rn + 128)
+        cap = int(block.id_blob.size) + n * (2 * L + max_rn + 136)
         out = _out_buf(cap)
         c = lambda a, t: np.ascontiguousarray(a, dtype=t)
         u8 = lambda a: c(a, np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
@@ -113,7 +119,9 @@ def format_records(
             c(mapped, np.uint8), c(flag, np.int32), c(rname_id, np.int32),
             c(pos1, np.int64), c(mapq, np.int32), c(rnext_id, np.int32),
             c(pnext1, np.int64), c(tlen, np.int64), c(nm, np.int32),
-            c(revcomp, np.uint8), rn_blob, c(ctable.name_off, np.int64),
+            c(revcomp, np.uint8),
+            c(trunc, np.uint8) if trunc is not None else None,
+            rn_blob, c(ctable.name_off, np.int64),
         ]
         ptr = lambda a, t: a.ctypes.data_as(ctypes.POINTER(t))
         qual_ptr = (
@@ -121,7 +129,12 @@ def format_records(
             if keep[3] is not None
             else ctypes.POINTER(ctypes.c_uint8)()
         )
-        written = lib.bwtpu_sam_format(
+        trunc_ptr = (
+            ptr(keep[14], ctypes.c_uint8)
+            if keep[14] is not None
+            else ctypes.POINTER(ctypes.c_uint8)()
+        )
+        written = lib.bwtpu_sam_format2(
             ptr(keep[0], ctypes.c_uint8), ptr(keep[1], ctypes.c_int64),
             ptr(keep[2], ctypes.c_uint8), qual_ptr,
             ctypes.c_int32(L), ctypes.c_int64(n),
@@ -130,7 +143,8 @@ def format_records(
             ptr(keep[8], ctypes.c_int32), ptr(keep[9], ctypes.c_int32),
             ptr(keep[10], ctypes.c_int64), ptr(keep[11], ctypes.c_int64),
             ptr(keep[12], ctypes.c_int32), ptr(keep[13], ctypes.c_uint8),
-            ptr(keep[14], ctypes.c_uint8), ptr(keep[15], ctypes.c_int64),
+            trunc_ptr,
+            ptr(keep[15], ctypes.c_uint8), ptr(keep[16], ctypes.c_int64),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
             ctypes.c_int64(cap),
         )
@@ -139,7 +153,7 @@ def format_records(
         log.warning("bwtpu_sam_format capacity bug (cap=%d); Python fallback", cap)
     return _format_py(
         block, mapped, flag, rname_id, pos1, mapq, rnext_id, pnext1, tlen,
-        nm, revcomp, ctable,
+        nm, revcomp, ctable, trunc,
     )
 
 
@@ -157,7 +171,7 @@ _COMP_FULL = _comp_full()
 
 def _format_py(
     block, mapped, flag, rname_id, pos1, mapq, rnext_id, pnext1, tlen, nm,
-    revcomp, ctable,
+    revcomp, ctable, trunc=None,
 ) -> bytes:
     names = [
         ctable.name_blob[ctable.name_off[i] : ctable.name_off[i + 1]]
@@ -180,20 +194,21 @@ def _format_py(
                 q = q[::-1]
         rx = rnext_id[i]
         rnext = b"*" if rx == -1 else (b"=" if rx == -2 else names[rx])
+        xo = b"\txo:i:1" if trunc is not None and trunc[i] else b""
         if mapped[i]:
             parts.append(
                 b"\t".join([
                     rid, b"%d" % flag[i], names[rname_id[i]], b"%d" % pos1[i],
                     b"%d" % mapq[i], cigar, rnext, b"%d" % pnext1[i],
                     b"%d" % tlen[i], s, q, b"NM:i:%d" % nm[i],
-                ])
+                ]) + xo
             )
         else:
             parts.append(
                 b"\t".join([
                     rid, b"%d" % flag[i], b"*", b"0", b"0", b"*", rnext,
                     b"%d" % pnext1[i], b"0", s, q,
-                ])
+                ]) + xo
             )
     return b"\n".join(parts) + b"\n" if parts else b""
 
@@ -203,6 +218,7 @@ def emit_paired(
     flat1, flat2, choice, prim1: Primary, prim2: Primary,
     ctable: ContigTable, force_python: bool = False,
 ) -> bytes:
+    # mate truncation flags ride the per-mate FlatHits (engine healing)
     """Paired-end emission over flat arrays: byte-equal to
     bwtpu.sam.pair_and_emit_sam (tests/test_fastpath.py).
 
@@ -296,16 +312,30 @@ def emit_paired(
         revcomp=inter(mapped1 & sr1, mapped2 & sr2),
         ctable=ctable,
         force_python=force_python,
+        trunc=(
+            None
+            if getattr(flat1, "truncated", None) is None
+            and getattr(flat2, "truncated", None) is None
+            else inter(
+                flat1.truncated
+                if flat1.truncated is not None
+                else np.zeros(n, bool),
+                flat2.truncated
+                if flat2.truncated is not None
+                else np.zeros(n, bool),
+            )
+        ),
     )
 
 
 def emit_single(
     block: ReadBlock, primary: Primary, ctable: ContigTable,
-    force_python: bool = False,
+    force_python: bool = False, truncated: np.ndarray | None = None,
 ) -> bytes:
     """Single-end emission: one primary record per read (pinned rule,
     bwtpu/sam.py::emit_sam). Boundary-crossing primaries emit unmapped
-    records (io.resolve_position convention)."""
+    records (io.resolve_position convention). truncated (bool[n] or
+    None, e.g. FlatHits.truncated) tags capacity-cut reads xo:i:1."""
     n = block.n
     cid, lpos = ctable.resolve(primary.pos, block.L)
     eff = primary.mapped & (cid >= 0)
@@ -318,5 +348,5 @@ def emit_single(
         mapped=eff, flag=flag, rname_id=cid, pos1=lpos + 1,
         mapq=primary.mapq, rnext_id=np.full(n, -1, np.int32), pnext1=z64,
         tlen=z64, nm=primary.nm, revcomp=eff & primary.strand_rev,
-        ctable=ctable, force_python=force_python,
+        ctable=ctable, force_python=force_python, trunc=truncated,
     )

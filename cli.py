@@ -110,7 +110,7 @@ def _align_block_stream(engine, stream, manifest, args, k, bs, start_batch,
             nonlocal total
             bi0, t0, sub, fut = inflight.pop(0)
             flat, prim = fut.result()
-            out.write(emit_single(sub, prim, ctable))
+            out.write(emit_single(sub, prim, ctable, truncated=flat.truncated))
             total += sub.n
             print(
                 json.dumps({

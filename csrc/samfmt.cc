@@ -60,7 +60,14 @@ extern "C" {
 // Format n single- or paired-end SAM records into `out`.
 // Returns bytes written, or -1 if out_cap could be exceeded (caller
 // sizes out with bwtpu/samfast.py's upper bound, so -1 is a bug trap).
-int64_t bwtpu_sam_format(
+// v2: adds `trunc` (bool[n] or nullptr) — records of reads whose
+// results are still capacity-truncated after the engine's bounded
+// self-healing retries get a trailing "xo:i:1" tag (lowercase tags are
+// reserved for local use by the SAM spec; VERDICT r3 item 3 "mark the
+// read in SAM instead of a log line"). Renamed so a stale .so predating
+// this signature fails attribute lookup and triggers the rebuild path
+// in bwtpu/samfast.py rather than corrupting memory.
+int64_t bwtpu_sam_format2(
     const uint8_t* id_blob, const int64_t* id_off,
     const uint8_t* seq,   // n * L ASCII, uppercase
     const uint8_t* qual,  // n * L or nullptr (emits '*')
@@ -75,14 +82,15 @@ int64_t bwtpu_sam_format(
     const int64_t* tlen,       // only read when mapped
     const int32_t* nm,         // NM:i tag; only emitted when mapped
     const uint8_t* revcomp,    // bool[n]: revcomp SEQ / reverse QUAL
+    const uint8_t* trunc,      // bool[n] or nullptr: append xo:i:1
     const uint8_t* rname_blob, const int64_t* rname_off,
     uint8_t* out, int64_t out_cap) {
     char* p = reinterpret_cast<char*>(out);
     char* end = p + out_cap;
     // worst case per record outside id/rname/seq/qual:
     // 11 tabs + flag(5) + pos(20) + mapq(11) + cigar(11) + pnext(20)
-    // + tlen(20) + "NM:i:"(5) + nm(11) + newline + slack
-    const int64_t FIXED = 128;
+    // + tlen(20) + "NM:i:"(5) + nm(11) + "\txo:i:1"(7) + newline + slack
+    const int64_t FIXED = 136;
     char cigar[16];
     int cigar_len = u64_to_chars(uint64_t(L), cigar);
     cigar[cigar_len] = 'M';
@@ -164,6 +172,10 @@ int64_t bwtpu_sam_format(
             memcpy(p, "\tNM:i:", 6);
             p += 6;
             p += i64_to_chars(nm[i], p);
+        }
+        if (trunc != nullptr && trunc[i]) {
+            memcpy(p, "\txo:i:1", 7);
+            p += 7;
         }
         *p++ = '\n';
     }

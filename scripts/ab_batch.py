@@ -13,12 +13,13 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -47,6 +48,7 @@ def main():
     dev = upload_index([idx])
     shard0 = jax.tree.map(lambda x: x[0], dev.shard)
 
+    any_overflow = 0
     for spec in args.configs:
         B, d = (int(x) for x in spec.split(":"))
         encs = []
@@ -82,6 +84,13 @@ def main():
                 for o in outs))
         print(f"B={B} d={d} k2={args.k2}: {best/1e6:.3f} M reads/s  "
               f"overflow={over}", flush=True)
+        any_overflow += over
+    if any_overflow:
+        # a lossy config's rate is inflated: make the sweep fail loudly
+        # (ADVICE r3 — DESIGN.md claims sweeps run overflow-free)
+        print(f"ERROR: {any_overflow} overflowed rows across configs — "
+              "rates above are from lossy configs", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

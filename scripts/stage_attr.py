@@ -117,12 +117,12 @@ def main():
 
     def upto_search(sh, rwi, abi):
         *_, sp, ep, rem, over = _search(sh, rwi, abi)
-        return acc(sp) + acc(ep) + acc(rem) + over
+        return acc(sp) + acc(ep) + acc(rem) + acc(over)
 
     def _compact(sh, rwi, abi):
         rw2, ab2, lens2, lm2, sp, ep, rem, over = _search(sh, rwi, abi)
         rows, rvalid, overflow = interval_rows(sp, ep, H)
-        sel, count, co = compact_counts(ep - sp, H, cap)
+        sel, count, co, _dropped = compact_counts(ep - sp, H, cap)
         return rw2, ab2, lens2, lm2, rem, rows, sel, count, co
 
     def upto_compact(sh, rwi, abi):

@@ -47,7 +47,7 @@ def test_step_detection_and_compact_dispatch(step):
     reads, _ = simulate_reads(genome, 16, read_len=40, max_mismatches=0, seed=12)
     for k in (0, 2):
         handle = eng.dispatch_batch(reads, k=k)
-        assert handle[-1] == "compact", (
+        assert handle[-2] == "compact", (
             f"uniform packed batch must dispatch compact at k={k}"
         )
         eng.finish_batch(handle)
@@ -63,7 +63,7 @@ def test_step_detection_disabled_lattice():
     eng = Engine([idx])
     reads, _ = simulate_reads(genome, 8, read_len=40, max_mismatches=0, seed=14)
     handle = eng.dispatch_batch(reads, k=0)
-    assert handle[-1] == "dense"
+    assert handle[-2] == "dense"
     eng.finish_batch(handle)
 
 
@@ -81,7 +81,7 @@ def test_engine_compact_golden_parity(step):
 
     for k in (0, 2):
         handle = eng.dispatch_batch(reads, k=k)
-        assert handle[-1] == "compact"
+        assert handle[-2] == "compact"
         out = eng.finish_batch(handle)
         for r, hits in zip(reads, out):
             exp = {(h.pos, h.strand, h.nm) for h in golden.align_read(r.seq, k=k)}
@@ -150,7 +150,7 @@ def test_engine_compact_golden_parity_min_trips(min_trips):
                               seed=24)
     for k in (0, 2):
         handle = eng.dispatch_batch(reads, k=k)
-        assert handle[-1] == "compact"
+        assert handle[-2] == "compact"
         out = eng.finish_batch(handle)
         for r, hits in zip(reads, out):
             exp = {(h.pos, h.strand, h.nm)

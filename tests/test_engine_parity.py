@@ -81,11 +81,15 @@ def test_overflow_is_reported(world):
     genome, golden, engine = world
     from bwtpu.io import Read
 
-    # max_hits=32 < true hit count for a 1-bp read: results are capped
-    # and the overflow counter must say so (no silent caps).
+    # max_hits=32 << true hit count for a 1-bp read: the self-healing
+    # retries double the caps max_heals times (so MORE than the base
+    # cap comes back), and the still-overflowing final level must be
+    # reported (no silent caps).
     got = engine.align_batch([Read("one", "A")], k=0)
+    assert engine.stats.heals >= 1
     assert engine.stats.overflow_reads >= 1
-    assert len(got[0]) <= 2 * engine.config.max_hits
+    healed_cap = engine.config.max_hits * 2 ** engine.config.max_heals
+    assert 2 * engine.config.max_hits < len(got[0]) <= 2 * healed_cap
 
 
 def test_repetitive_genome_multi_hits(world):

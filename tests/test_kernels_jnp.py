@@ -274,7 +274,12 @@ def test_compact_counts_matches_generic():
             valid = (np.arange(H)[None, :]
                      < np.clip(counts, 0, H)[:, None]).reshape(-1)
             sel_g, cnt_g, ov_g = compact(jnp.asarray(valid), cap)
-            sel_s, cnt_s, ov_s = compact_counts(jnp.asarray(counts), H, cap)
+            sel_s, cnt_s, ov_s, dr_s = compact_counts(jnp.asarray(counts), H, cap)
             np.testing.assert_array_equal(np.asarray(sel_s), np.asarray(sel_g))
             assert int(cnt_s) == int(cnt_g)
             assert int(ov_s) == int(ov_g)
+            # dropped = lanes with live slots that did not all fit
+            c = np.clip(counts, 0, H)
+            cum = np.cumsum(c) - c
+            exp_drop = (c > 0) & (cum + c > cap)
+            np.testing.assert_array_equal(np.asarray(dr_s), exp_drop)
