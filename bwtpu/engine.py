@@ -650,6 +650,38 @@ def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
     )
 
 
+def _seed_expand_packed(shard, rw2, ab2, lm2, lens2, *, L, k, d, max_loc,
+                        sa_rate, loc_factor, min_trips, step, backend,
+                        compact_output, cap_scale):
+    """Pigeonhole seed expansion on already-prepped both-strand packed
+    rows (shared by inexact_pipeline_packed and the tiered path, which
+    runs it on a compacted escalated subset)."""
+    B2 = rw2.shape[0]
+    nS = k + 1
+    sps, eps, offs, fovs = [], [], [], []
+    for off, slen in seed_layout(L, nS):
+        sp_s, ep_s, rem_s, over = search_early_stop_packed(
+            shard.lattice, shard.latk, shard.latk_inv, shard.C,
+            shard.dollar_row, shard.kmer_tables[d],
+            rw2, ab2, off, slen, d, step, max_loc, min_trips,
+            cap_scale=cap_scale,
+        )
+        sps.append(sp_s)
+        eps.append(ep_s)
+        offs.append(off + rem_s)
+        fovs.append(over)
+    sp = jnp.stack(sps, axis=1).reshape(B2 * nS)
+    ep = jnp.stack(eps, axis=1).reshape(B2 * nS)
+    seed_off = jnp.stack(offs, axis=1).reshape(B2 * nS)
+    fix_over = jnp.stack(fovs, axis=1).reshape(B2 * nS)
+    return _inexact_from_intervals(
+        shard, sp, ep, seed_off, rw2, ab2, lm2, lens2,
+        k=k, max_loc=max_loc, sa_rate=sa_rate, loc_factor=loc_factor,
+        backend=backend, fix_over=fix_over,
+        compact_output=compact_output, cap_scale=cap_scale,
+    )
+
+
 def inexact_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, max_loc,
                             sa_rate, loc_factor=4, min_trips=0, backend="jnp",
                             compact_output=False, cap_scale=1):
@@ -664,29 +696,11 @@ def inexact_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, max_loc,
         # the full-length verify filters the partial-suffix superset
         # (candidate start = locate(row) - (seed offset + remaining)).
         rw2, ab2, lens2, lm2 = device_prep_packed(read_words, amb_bits, L)
-        B2 = rw2.shape[0]
-        nS = k + 1
-        sps, eps, offs, fovs = [], [], [], []
-        for off, slen in seed_layout(L, nS):
-            sp_s, ep_s, rem_s, over = search_early_stop_packed(
-                shard.lattice, shard.latk, shard.latk_inv, shard.C,
-                shard.dollar_row, shard.kmer_tables[d],
-                rw2, ab2, off, slen, d, step, max_loc, min_trips,
-                cap_scale=cap_scale,
-            )
-            sps.append(sp_s)
-            eps.append(ep_s)
-            offs.append(off + rem_s)
-            fovs.append(over)
-        sp = jnp.stack(sps, axis=1).reshape(B2 * nS)
-        ep = jnp.stack(eps, axis=1).reshape(B2 * nS)
-        seed_off = jnp.stack(offs, axis=1).reshape(B2 * nS)
-        fix_over = jnp.stack(fovs, axis=1).reshape(B2 * nS)
-        return _inexact_from_intervals(
-            shard, sp, ep, seed_off, rw2, ab2, lm2, lens2,
-            k=k, max_loc=max_loc, sa_rate=sa_rate, loc_factor=loc_factor,
-            backend=backend, fix_over=fix_over,
-            compact_output=compact_output, cap_scale=cap_scale,
+        return _seed_expand_packed(
+            shard, rw2, ab2, lm2, lens2, L=L, k=k, d=d, max_loc=max_loc,
+            sa_rate=sa_rate, loc_factor=loc_factor, min_trips=min_trips,
+            step=step, backend=backend, compact_output=compact_output,
+            cap_scale=cap_scale,
         )
     _, _, lens2, rw2, ab2, lm2, seeds = device_prep_uniform(
         read_words, amb_bits, L, k
@@ -697,6 +711,125 @@ def inexact_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, max_loc,
         k=k, d=d, max_loc=max_loc, sa_rate=sa_rate, loc_factor=loc_factor,
         backend=backend, cap_scale=cap_scale,
     )
+
+
+def tiered_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, d_seed,
+                           max_hits, max_cand, sa_rate, loc_factor,
+                           k2_loc_factor, esc_factor=1.0, min_trips=0,
+                           backend="jnp", cap_scale=1):
+    """Tiered inexact search (VERDICT r3 item 2): exact-first, escalate
+    only the reads with no nm == 0 hit to the (k+1)-seed pigeonhole
+    expansion.
+
+    Every read pays one full-read exact pass (the k = 0 candidate path
+    at its tight loc_factor); reads that produced an exact hit on either
+    strand are DONE — only the remainder is compacted (esc_factor caps
+    the escalated fraction) and runs the 3-seed expansion, whose
+    candidate compaction then scales with the escalated count instead of
+    the whole batch. On error-free production read sets the escalated
+    minority makes this a multiple-x win; on the bench's uniform
+    {0,1,2}-mismatch simulation ~2/3 escalate (reported as
+    k2_escalated_frac).
+
+    Reporting contract (stratum semantics, documented in DESIGN.md):
+      - reads with NO exact hit: the full <= k hit set (pigeonhole is
+        complete for them) — golden k parity;
+      - reads WITH an exact hit: all their nm == 0 hits (golden k = 0
+        parity) plus any incidental nm <= k hits the exact pass's
+        verify surfaced — a superset of golden k=0, subset of golden k.
+    Primary selection and MAPQ are IDENTICAL to the full enumeration
+    (the primary is a best-nm hit and the nm == 0 set is complete).
+
+    Returns (cand1, nm1, sel1, cnt1, cand2, nm2, sel2, cnt2, esc_sel,
+    esc_cnt, ov_rows, comp_over): list 1 = exact-tier candidates in the
+    usual flat-slot space (row = sel1 // max_hits); list 2 = escalated-
+    tier candidates in ESCALATED lane space — its read-strand row
+    row2 = sel2 // ((k+1)*max_cand) maps to the real row via
+    esc_sel[row2 % esc_cap] (+B for the reverse half); ov_rows is the
+    combined per-row incompleteness count (healing/truncation channel).
+    """
+    from bwtpu.kernels.common import popcount32
+    from bwtpu.kernels.compact import compact
+
+    step = _shard_occ_step(shard)
+    assert step and d >= 1 and d_seed >= 1, (step, d, d_seed)
+    B, W = read_words.shape
+    rw2, ab2, lens2, lm2 = device_prep_packed(read_words, amb_bits, L)
+    B2 = 2 * B
+
+    # ---- tier 1: full-read exact candidate pass ----
+    sp, ep, rem, fov = search_early_stop_packed(
+        shard.lattice, shard.latk, shard.latk_inv, shard.C,
+        shard.dollar_row, shard.kmer_tables[d], rw2, ab2, 0, L, d,
+        step, max_hits, min_trips, cap_scale=cap_scale,
+    )
+    cand1, nm1, sel1, cnt1, ov1, co1 = _inexact_from_intervals(
+        shard, sp, ep, rem, rw2, ab2, lm2, lens2,
+        k=0, max_loc=max_hits, sa_rate=sa_rate, loc_factor=loc_factor,
+        backend=backend, fix_over=fov, compact_output=True,
+        cap_scale=cap_scale,
+    )
+    cap1 = cand1.shape[0]
+
+    # per-read "has an exact hit" (either strand): scatter-max over the
+    # compacted candidate rows — B2-sized, no dense pass
+    live1 = jnp.arange(cap1, dtype=jnp.int32) < cnt1
+    is0 = live1 & (nm1 == 0)
+    row1 = sel1 // max_hits
+    has0 = jnp.zeros(B2, jnp.int32).at[row1].max(
+        is0.astype(jnp.int32), mode="drop"
+    )
+    read_has0 = (has0[:B] + has0[B:]) > 0
+
+    # escalate live reads (not all-ambiguous padding) without one
+    n_amb = jnp.sum(popcount32(
+        (ab2[:B] & lm2[:B]).astype(jnp.uint32)), axis=1)
+    alive = n_amb < jnp.minimum(lens2[:B], L)
+    escalate = (~read_has0) & alive
+    esc_cap = compact_cap(B, esc_factor, cap_scale)
+    esc_cap = min(esc_cap, B)
+    esc_sel, esc_cnt, esc_over = compact(escalate, esc_cap)
+    # reads escalated past capacity lose their inexact tier: per-read
+    # incompleteness for the healing/marking channel
+    esc_dropped = escalate & (
+        jnp.cumsum(escalate.astype(jnp.int32)) > esc_cap
+    )
+
+    # ---- tier 2: seed expansion on the escalated subset ----
+    live_e = jnp.arange(esc_cap, dtype=jnp.int32) < esc_cnt
+    live_pair = jnp.concatenate([live_e, live_e])
+    rw2e = jnp.concatenate(
+        [jnp.take(rw2, esc_sel, axis=0), jnp.take(rw2, B + esc_sel, axis=0)]
+    )
+    ab2e = jnp.concatenate(
+        [jnp.take(ab2, esc_sel, axis=0), jnp.take(ab2, B + esc_sel, axis=0)]
+    )
+    # kill the slack lanes beyond esc_cnt (compact() pads sel with lane
+    # 0 — without this they would duplicate read 0's hits): all-
+    # ambiguous rows die in the first search step
+    ab2e = jnp.where(live_pair[:, None], ab2e, lm2[:1])
+    lm2e = jnp.broadcast_to(lm2[:1], (2 * esc_cap, W)).astype(jnp.int32)
+    lens2e = jnp.full(2 * esc_cap, L, jnp.int32)
+    cand2, nm2, sel2, cnt2, ov2, co2 = _seed_expand_packed(
+        shard, rw2e, ab2e, lm2e, lens2e, L=L, k=k, d=d_seed,
+        max_loc=max_cand, sa_rate=sa_rate, loc_factor=k2_loc_factor,
+        min_trips=min_trips, step=step, backend=backend,
+        compact_output=True, cap_scale=cap_scale,
+    )
+
+    # combined per-row incompleteness: tier-1 rows + escalation drops +
+    # tier-2 rows scattered back to their real rows
+    ereal = jnp.where(live_e, esc_sel, B2)
+    ov_rows = ov1 + jnp.concatenate([esc_dropped, esc_dropped]).astype(
+        jnp.int32
+    )
+    ov_rows = ov_rows.at[ereal].add(ov2[:esc_cap], mode="drop")
+    ov_rows = ov_rows.at[jnp.where(live_e, B + esc_sel, B2)].add(
+        ov2[esc_cap:], mode="drop"
+    )
+    comp_over = co1 + co2 + esc_over
+    return (cand1, nm1, sel1, cnt1, cand2, nm2, sel2, cnt2,
+            esc_sel, esc_cnt, ov_rows, comp_over)
 
 
 def pack_reads_for_bench(reads):
@@ -1322,6 +1455,34 @@ def dense_to_columns(pos, nm, valid):
     p = pos[s_idx, row_idx, h_idx]
     m = nm[s_idx, row_idx, h_idx] if nm is not None else np.zeros(len(p), int)
     return s_idx, row_idx, p, m
+
+
+def tiered_to_columns(out, max_hits, max_cand, k, B):
+    """Host decode of tiered_pipeline_packed output -> flat (row_idx,
+    p, m) columns (single shard). Tier-2 rows are mapped from escalated
+    lane space back to real read-strand rows via esc_sel."""
+    (cand1, nm1, sel1, cnt1, cand2, nm2, sel2, cnt2,
+     esc_sel, esc_cnt, ov_rows, comp_over) = [np.asarray(o) for o in out]
+    c1 = int(cnt1)
+    keep1 = nm1[:c1] <= k
+    rows1 = (sel1[:c1] // max_hits)[keep1]
+    p1, m1 = cand1[:c1][keep1], nm1[:c1][keep1]
+    esc_cap = len(esc_sel)
+    Ct2 = (k + 1) * max_cand
+    c2 = int(cnt2)
+    keep2 = nm2[:c2] <= k
+    r2e = (sel2[:c2] // Ct2)[keep2]
+    fwd = r2e < esc_cap
+    real2 = np.where(fwd, esc_sel[r2e % esc_cap],
+                     B + esc_sel[(r2e - esc_cap) % esc_cap])
+    p2, m2 = cand2[:c2][keep2], nm2[:c2][keep2]
+    return (
+        np.concatenate([rows1, real2]),
+        np.concatenate([p1, p2]),
+        np.concatenate([m1, m2]),
+        int((ov_rows > 0).sum()),
+        int(comp_over),
+    )
 
 
 def compact_to_columns(shard_comp, k, Ct):
