@@ -318,6 +318,99 @@ def _load_bytes(path: str) -> np.ndarray:
     return np.fromfile(path, dtype=np.uint8)
 
 
+def _fastq_line_arrays(data: np.ndarray):
+    """4-line FASTQ structure scan -> (h_start, h_end, s_start, s_end,
+    q_start, q_end) line-bound arrays, or None if not 4-line FASTQ."""
+    if data.size == 0:
+        return None
+    if data[-1] != 10:  # ensure trailing newline so lines == nl count
+        data = np.concatenate([data, np.array([10], dtype=np.uint8)])
+    nl = np.flatnonzero(data == 10)
+    n_lines = len(nl)
+    if n_lines % 4 != 0:
+        return None
+    starts = np.empty(n_lines, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = nl[:-1] + 1
+    ends = nl.astype(np.int64)
+    if data.size > 1 and np.any(data[ends - 1] == 13):  # CRLF
+        ends = ends - (data[np.maximum(ends - 1, 0)] == 13)
+    h_start, h_end = starts[0::4], ends[0::4]
+    s_start, s_end = starts[1::4], ends[1::4]
+    p_start = starts[2::4]
+    q_start, q_end = starts[3::4], ends[3::4]
+    if len(h_start) and not (
+        np.all(data[h_start] == ord("@")) and np.all(data[p_start] == ord("+"))
+    ):
+        return None
+    return data, h_start, h_end, s_start, s_end, q_start, q_end
+
+
+def _ids_from_headers(data, h_start, h_end):
+    """Vectorized id extraction: header minus '@', cut at first
+    whitespace (io.read_fastq rule) -> (id_blob, id_off)."""
+    n = len(h_start)
+    hs = h_start + 1
+    hlen = h_end - hs
+    maxh = int(hlen.max(initial=0))
+    hm = data[np.minimum(hs[:, None] + np.arange(maxh), data.size - 1)]
+    col_ok = np.arange(maxh)[None, :] < hlen[:, None]
+    white = ((hm == 32) | (hm == 9)) & col_ok
+    idlen = np.where(white.any(axis=1), white.argmax(axis=1), hlen)
+    total = int(idlen.sum())
+    off = np.zeros(n + 1, dtype=np.int64)
+    off[1:] = np.cumsum(idlen)
+    pos_in_id = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], idlen)
+    id_blob = data[np.repeat(hs, idlen) + pos_in_id]
+    return id_blob, off
+
+
+def read_fastq_stream_ragged(path: str, chunk: int, start: int = 0):
+    """Length-bucketed columnar stream for MIXED-length 4-line FASTQ
+    (VERDICT r3 item 7 — the single-process twin of multihost.py's
+    bucketed schedule): ragged streams stay on the packed columnar
+    pipelines instead of demoting to the ~0.38 M reads/s object-per-
+    read path.
+
+    Returns (n_reads, max_len, generator) or None if the file is not
+    4-line FASTQ. The generator yields, per INPUT-ORDER chunk of
+    `chunk` records, a list of (ReadBlock, orig_idx int64[nb]) — one
+    uniform-length block per distinct read length in the chunk, plus
+    that block's original record indices (chunk-local) so the caller's
+    reorder buffer can emit in input order. `start` skips chunks
+    without building their blocks (cursor resume, cli.py)."""
+    data = _load_bytes(path)
+    scan = _fastq_line_arrays(data)
+    if scan is None:
+        return None
+    data, h_start, h_end, s_start, s_end, q_start, q_end = scan
+    n = len(h_start)
+    slen = s_end - s_start
+    if n == 0 or np.any(q_end - q_start != slen) or np.any(slen <= 0):
+        return None
+    max_len = int(slen.max())
+
+    def build(sub):
+        """Uniform-length ReadBlock for record indices `sub`."""
+        L = int(slen[sub[0]])
+        seq = _upper(data[s_start[sub][:, None] + np.arange(L)])
+        qual = data[q_start[sub][:, None] + np.arange(L)]
+        id_blob, id_off = _ids_from_headers(data, h_start[sub], h_end[sub])
+        return ReadBlock(n=len(sub), L=L, id_blob=id_blob, id_off=id_off,
+                         seq=seq, qual=qual)
+
+    def gen():
+        for lo in range(start * chunk, n, chunk):
+            idx = np.arange(lo, min(lo + chunk, n), dtype=np.int64)
+            groups = []
+            for L in np.unique(slen[idx]):
+                sub = idx[slen[idx] == L]
+                groups.append((build(sub), sub - lo))
+            yield groups
+
+    return n, max_len, gen()
+
+
 def read_fastq_stream(path: str, chunk: int, start: int = 0):
     """(n_reads, L, iterator of ReadBlocks of `chunk` records each,
     last one partial) — or None if the file does not fit the fast-path

@@ -213,6 +213,33 @@ def _format_py(
     return b"\n".join(parts) + b"\n" if parts else b""
 
 
+def reorder_sam_records(blobs: list[bytes], idx_lists: list[np.ndarray]
+                        ) -> bytes:
+    """Reassemble per-bucket SAM blobs into INPUT record order.
+
+    The ragged (length-bucketed) align path emits one blob per length
+    bucket; each record is exactly one newline-terminated line. This
+    splits the concatenated blobs at newlines and gathers the records
+    into the order given by the buckets' original indices — one
+    vectorized pass, no per-record Python objects (the reorder-buffer
+    twin of bwtpu/multihost.py's emit ordering)."""
+    big = np.frombuffer(b"".join(blobs), dtype=np.uint8)
+    if big.size == 0:
+        return b""
+    ends = np.flatnonzero(big == 10)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    lens = ends - starts + 1  # keep the newline
+    order = np.argsort(np.concatenate(idx_lists), kind="stable")
+    s, l = starts[order], lens[order]
+    total = int(l.sum())
+    excl = np.cumsum(l) - l
+    src = np.repeat(s, l) + (np.arange(total, dtype=np.int64)
+                             - np.repeat(excl, l))
+    return big[src].tobytes()
+
+
 def emit_paired(
     block1: ReadBlock, block2: ReadBlock,
     flat1, flat2, choice, prim1: Primary, prim2: Primary,

@@ -137,6 +137,84 @@ def _align_block_stream(engine, stream, manifest, args, k, bs, start_batch,
     return total, t_start
 
 
+def _align_ragged_block_stream(engine, gen, manifest, args, k, bs,
+                               start_batch, cursor_path, mode):
+    """Length-bucketed ragged fast path (VERDICT r3 item 7 — the
+    single-process twin of bwtpu/multihost.py's bucketed schedule):
+    each input-order chunk dispatches one packed columnar block per
+    distinct read length (padded to the next power of two so compiled
+    programs are reused across chunks), and the chunk emits in INPUT
+    order via a vectorized record reorder
+    (samfast.reorder_sam_records) — a mixed-length FASTQ never demotes
+    to the ~0.38 M reads/s object-per-read path."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bwtpu.results import ContigTable, select_primary_flat
+    from bwtpu.sam import sam_header
+    from bwtpu.samfast import emit_single, reorder_sam_records
+
+    ctable = ContigTable.build(manifest.contigs)
+    out = (
+        sys.stdout.buffer
+        if args.out in (None, "-")
+        else open(args.out, mode + "b")
+    )
+    t_start = time.time()
+    total = 0
+    ex = ThreadPoolExecutor(max_workers=1)
+
+    def process(handles):
+        blobs, idxs, n = [], [], 0
+        for blk, sub, h in handles:
+            flat = engine.finish_block(h)
+            prim = select_primary_flat(flat)
+            blobs.append(
+                emit_single(blk, prim, ctable, truncated=flat.truncated)
+            )
+            idxs.append(sub)
+            n += blk.n
+        return reorder_sam_records(blobs, idxs), n
+
+    try:
+        if mode == "w":
+            out.write(sam_header(manifest.contigs).encode())
+        inflight = []
+
+        def drain_one():
+            nonlocal total
+            bi0, t0, fut = inflight.pop(0)
+            blob, nreads = fut.result()
+            out.write(blob)
+            total += nreads
+            print(
+                json.dumps({
+                    "event": "batch", "batch": bi0, "reads": nreads,
+                    "reads_per_s": round(nreads / (time.time() - t0), 1),
+                    "ms": round((time.time() - t0) * 1e3, 1),
+                }),
+                file=sys.stderr,
+            )
+            _save_cursor(cursor_path, bi0 + 1)
+
+        for bi, groups in enumerate(gen, start=start_batch):
+            handles = []
+            for blk, sub in groups:
+                pad = 1 << max(0, (blk.n - 1).bit_length())
+                handles.append(
+                    (blk, sub, engine.dispatch_block(blk, k, pad_to=pad))
+                )
+            inflight.append((bi, time.time(), ex.submit(process, handles)))
+            if len(inflight) > 2:
+                drain_one()
+        while inflight:
+            drain_one()
+    finally:
+        ex.shutdown(wait=False)
+        if out is not sys.stdout.buffer:
+            out.close()
+    return total, t_start
+
+
 def _align_paired_block_stream(engine, stream1, stream2, manifest, args, k,
                                bs, start_batch, cursor_path, mode):
     """Columnar paired fast path: both mates stack on the batch axis
@@ -257,6 +335,20 @@ def cmd_align(args):
                 )
                 _print_summary(engine, total, t_start)
                 return
+            if res is None:
+                # mixed-length FASTQ: length-bucketed columnar path
+                from bwtpu.readblock import read_fastq_stream_ragged
+
+                resr = read_fastq_stream_ragged(args.reads, bs,
+                                                start=start_batch)
+                if resr is not None and 0 < resr[1] <= engine.config.read_len:
+                    _n_total, _maxL, gen = resr
+                    total, t_start = _align_ragged_block_stream(
+                        engine, gen, manifest, args, k, bs, start_batch,
+                        cursor_path, mode,
+                    )
+                    _print_summary(engine, total, t_start)
+                    return
         else:
             res2 = read_fastq_stream(args.paired, bs, start=start_batch)
             if (
