@@ -1,0 +1,160 @@
+"""Human-scale index ON THE REAL CHIP (VERDICT r3 item 5; BASELINE
+configs 4-5 single-chip half).
+
+Loads the 2.5 Gbp 10-shard artifact built by scripts/scale_human.py,
+places ALL shards in one v5e HBM, runs the vmapped all-shard packed
+dispatch (the same engine.dispatch_block hits path production uses) and
+measures:
+
+  - HBM bytes resident (per device-array tree leaf, summed)
+  - exact and k<=2 device reads/s at S=10 (distinct batches, best-of-2,
+    bench.py measurement discipline)
+  - truth recovery on >= 8 K simulated reads (global int64 positions
+    across the 2^31 boundary)
+
+Run (TPU):  python scripts/scale_human_chip.py --index /tmp/human_idx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", default="/tmp/human_idx")
+    ap.add_argument("--batch", type=int, default=65536)
+    ap.add_argument("--n-truth", type=int, default=8192)
+    ap.add_argument("--kmer-d", type=int, default=11,
+                    help="single start-table depth to keep resident "
+                         "(the full ladder at 10 shards costs HBM)")
+    ap.add_argument("--k2-batch", type=int, default=16384)
+    ap.add_argument("--genome-seed", type=int, default=5,
+                    help="seed scale_human.py used (truth simulation "
+                         "regenerates the genome)")
+    args = ap.parse_args()
+
+    import jax
+
+    from bwtpu.engine import Engine
+    from bwtpu.index import load_index
+    from bwtpu.readblock import ReadBlock
+    from bwtpu.results import hit_lists
+    from bwtpu.simulate import random_genome, simulate_reads
+
+    t_all = time.time()
+    out = {"config": "human-scale on-chip (S=10, one v5e)",
+           "platform": jax.devices()[0].platform,
+           "device": getattr(jax.devices()[0], "device_kind", "?")}
+
+    t0 = time.time()
+    shards, manifest = load_index(args.index)
+    out["n_shards"] = len(shards)
+    out["genome_bp"] = int(sum(s.text_len for s in shards))
+    out["load_s"] = round(time.time() - t0, 1)
+    # keep ONE start-table depth: the ladder x 10 shards is HBM the
+    # batch pipelines never touch at a fixed read length
+    for s in shards:
+        keep = args.kmer_d if args.kmer_d in s.kmer_tables else max(
+            s.kmer_tables)
+        for dd in [d for d in list(s.kmer_tables) if d != keep]:
+            del s.kmer_tables[dd]
+
+    t0 = time.time()
+    eng = Engine(shards, manifest)
+    hbm = sum(
+        int(np.prod(x.shape)) * 4
+        for x in jax.tree.leaves(eng.dev.shard)
+    )
+    out["upload_s"] = round(time.time() - t0, 1)
+    out["hbm_resident_gb"] = round(hbm / 1e9, 2)
+
+    # ---- truth recovery on >= 8 K reads (global positions, int64) ----
+    t0 = time.time()
+    # shards overlap (build_sharded_index overlap), so the original
+    # genome length is the manifest's, not sum(text_len)
+    bp = int(manifest.total_len) if manifest else 2_500_000_000
+    genome = random_genome(bp, seed=args.genome_seed)
+    out["genome_regen_s"] = round(time.time() - t0, 1)
+    reads, truth = simulate_reads(genome, args.n_truth, read_len=100,
+                                  max_mismatches=2, seed=6)
+    del genome
+
+    blk = ReadBlock.from_reads(reads)
+    flat = eng.finish_block(eng.dispatch_block(blk, 2, pad_to=blk.n))
+    lists = hit_lists(flat)
+    rec = sum(
+        any(h.pos == t["pos"] and h.strand == t["strand"]
+            and h.nm == t["nm"] for h in hs)
+        for t, hs in zip(truth, lists)
+    )
+    beyond = [i for i, t in enumerate(truth) if t["pos"] > 2**31]
+    rec_beyond = sum(
+        any(h.pos == truth[i]["pos"] and h.strand == truth[i]["strand"]
+            for h in lists[i]) for i in beyond
+    )
+    out["truth_reads"] = args.n_truth
+    out["truth_recovered"] = int(rec)
+    out["truth_beyond_int32"] = len(beyond)
+    out["recovered_beyond_int32"] = int(rec_beyond)
+
+    # ---- device rate, exact + k2 (vmapped all-shard hits dispatch) ----
+    def measure(k, B):
+        encs = [simulate_reads_fast(B, i) for i in range(2)]
+        # warm/compile
+        eng.finish_block(eng.dispatch_block(encs[0], k, pad_to=B))
+        best = 0.0
+        for _ in range(2):
+            t0 = time.time()
+            hs = [eng.dispatch_block(e, k, pad_to=B) for e in encs]
+            for h in hs:
+                eng.finish_block(h)
+            best = max(best, 2 * B / (time.time() - t0))
+        return best
+
+    # read simulation over a 2.5 GB string is slow; sample windows from
+    # the packed text of shard 0 instead (device rate needs volume, not
+    # truth)
+    def simulate_reads_fast(B, seed):
+        rng = np.random.default_rng(90 + seed)
+        s0 = shards[seed % len(shards)]
+        tp = s0.text_packed.view(np.uint8)
+        starts = rng.integers(0, s0.text_len - 120, size=B)
+        pos = starts[:, None] + np.arange(100)[None, :]
+        codes = (tp[pos // 4] >> (2 * (pos % 4)).astype(np.uint8)) & 3
+        seq = np.frombuffer(b"ACGT", np.uint8)[codes]
+        ids = np.arange(B)
+        id_strs = [f"q{seed}_{i}".encode() for i in ids]
+        off = np.zeros(B + 1, np.int64)
+        off[1:] = np.cumsum([len(x) for x in id_strs])
+        return ReadBlock(
+            n=B, L=100,
+            id_blob=np.frombuffer(b"".join(id_strs), np.uint8),
+            id_off=off, seq=seq,
+            qual=np.full((B, 100), ord("I"), np.uint8),
+        )
+
+    t0 = time.time()
+    out["exact_reads_per_s"] = round(measure(0, args.batch), 1)
+    out["exact_measure_s"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    out["k2_reads_per_s"] = round(measure(2, args.k2_batch), 1)
+    out["k2_measure_s"] = round(time.time() - t0, 1)
+    out["overflow_reads"] = eng.stats.overflow_reads
+    out["heals"] = eng.stats.heals
+    out["batch"] = args.batch
+    out["k2_batch"] = args.k2_batch
+    out["total_s"] = round(time.time() - t_all, 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

