@@ -144,6 +144,82 @@ def gather_model(B2, L, d, step, trips, n_unf, max_loc, nS,
     return rows, bytes_
 
 
+def multihost_probe(n_reads_per_host=2048, batch=512):
+    """One real 2-process jax.distributed run on CPU (the launcher path
+    BASELINE config 4-5 uses on a pod): builds a small sharded index,
+    spawns two `python -m bwtpu.multihost` processes against a
+    localhost coordinator, and returns the aggregate host_summary rate
+    (VERDICT r3 item 4). CPU-mesh collectives — a launcher-path
+    liveness + throughput probe, not a TPU number."""
+    import json as _json
+    import os
+    import socket
+    import subprocess
+    import sys as _sys
+    import tempfile
+
+    from bwtpu.config import EngineConfig
+    from bwtpu.index import build_sharded_index, save_index
+    from bwtpu.simulate import random_genome, simulate_reads
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="bwtpu_mh_")
+    genome = random_genome(400_000, seed=17)
+    cfg = EngineConfig(sa_rate=4, max_hits=8, max_cand=8, read_len=100)
+    shards, manifest = build_sharded_index(genome, 2, config=cfg,
+                                           overlap=128)
+    idx_dir = os.path.join(tmp, "idx")
+    save_index(idx_dir, shards, manifest)
+    read_files = []
+    for h in range(2):
+        rds, _ = simulate_reads(genome, n_reads_per_host, read_len=100,
+                                max_mismatches=2, seed=40 + h)
+        p = os.path.join(tmp, f"reads{h}.fq")
+        with open(p, "w") as f:
+            for r in rds:
+                f.write(f"@{r.rid}\n{r.seq}\n+\n{'I' * 100}\n")
+        read_files.append(p)
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, "-m", "bwtpu.multihost",
+             "--coordinator", f"localhost:{port}",
+             "--num-processes", "2", "--process-id", str(h),
+             "--index", idx_dir, "--reads", read_files[h],
+             "--out", os.path.join(tmp, "out.sam"), "-k", "0",
+             "--batch-size", str(batch), "--platform", "cpu",
+             "--host-devices", "4"],
+            env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for h in range(2)
+    ]
+    total_reads = 0
+    max_wall = 0.0
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"multihost process failed: {err.decode()[-500:]}")
+        for line in err.decode().splitlines():
+            if '"host_summary"' in line:
+                rec = _json.loads(line)
+                total_reads += rec["reads"]
+                max_wall = max(max_wall, rec["wall_s"])
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    return total_reads / max(max_wall, 1e-9), total_reads, max_wall
+
+
 def main():
     from bwtpu.hosttune import tune_malloc
 
@@ -509,6 +585,14 @@ def main():
         k2_lf, cfg.sa_rate, locv=locv_on)
     sol_k2_rps = 1.0 / (k2_rows / B_k2 * ns_per_row * 1e-9)
 
+    # --- multihost launcher probe: one real 2-process CPU run ---
+    mh_rps = mh_reads = mh_wall = None
+    if not args.smoke:
+        try:
+            mh_rps, mh_reads, mh_wall = multihost_probe()
+        except Exception as e:  # launcher liveness is reported, not fatal
+            print(f"# multihost probe failed: {e}", flush=True)
+
     # --- CPU reference (golden, interpreted walks) on a sample ---
     t0 = time.time()
     golden = GoldenFMIndex(genome)
@@ -544,6 +628,10 @@ def main():
             "e2e_paired_wall_s": round(e2e_pe[1], 2),
             "e2e_paired_reads": e2e_pe[2],
             "e2e_paired_overflows": int(e2e_pe[4]),
+            "multihost_2proc_cpu_reads_per_s": (
+                round(mh_rps, 1) if mh_rps else None),
+            "multihost_2proc_reads": mh_reads,
+            "multihost_2proc_wall_s": mh_wall,
             "k2_reads_per_s": round(k2_rps, 1),
             "k2_tiered_reads_per_s": round(k2t_rps, 1),
             "k2_tiered_overflow": int(k2t_over),
