@@ -95,19 +95,28 @@ def hbm_bandwidth(dev) -> float:
 
 def gather_model(B2, L, d, step, trips, n_unf, max_loc, nS,
                  loc_factor, sa_rate, locv=False):
-    """Data-dependent gather (rows, bytes) for one packed compact-path
-    batch.
+    """Data-dependent gather (rows, bytes, locv_rows) for one packed
+    compact-path batch.
 
     Stages (bwtpu/engine.py exact/inexact_pipeline_packed):
       kmer start        B2*nS lanes x 1 row (8 B)
       multi-step probes trips x B2*nS lanes x 1 OCCK record (step 3: 512 B)
       finisher          cap_fix lanes x (slen-d) steps x 2 rows (128 B)
       locate+verify     locv fused: cap_loc x 2 rows (locv row carrying
-                        SA value + text window, plus the fused read row)
-                        else: cap_loc x 1 locate row (4 B direct SA |
-                        sa_rate x 128 B walk) + cap_loc x 2 verify rows
+                        SA value + verify window, plus the fused read
+                        row) else: cap_loc x 1 locate row (4 B direct
+                        SA | sa_rate x 128 B walk) + cap_loc x 2 verify
+                        rows
     Compacted arrays have STATIC shapes, so traffic is the capacity,
     not the live count; n_unf only gates whether the finisher runs.
+
+    locv_rows is returned separately because the fused table is the one
+    table that does NOT gather at the cache-resident rate: the measured
+    per-row cost is size-dependent (7 ns at 9 MB vs ~35 ns at 295 MB —
+    DESIGN.md "gather cost vs TABLE SIZE"), so the roofline prices it
+    with its own calibrated ns/row instead of pretending every row is
+    cheap (round-4 model fix; the old single-rate model understated the
+    light-speed time by ~2x and made sol_fraction uninterpretable).
     """
     from bwtpu.index import OCCK_WIDTH
     from bwtpu.kernels.verify2 import locv_row_width, window_row_width
@@ -127,8 +136,9 @@ def gather_model(B2, L, d, step, trips, n_unf, max_loc, nS,
         fix_rows = nS * cap_fix * max(slen - d, 0) * 2
         rows += fix_rows
         bytes_ += fix_rows * 128
+    locv_rows = 0
     if locv:                                # fused locate+verify row
-        rows += cap_loc
+        locv_rows = cap_loc
         bytes_ += cap_loc * locv_row_width(L) * 4
     elif sa_rate == 1:                      # locate
         rows += cap_loc
@@ -141,7 +151,7 @@ def gather_model(B2, L, d, step, trips, n_unf, max_loc, nS,
         bytes_ += cap_loc * window_row_width(L) * 4
     rows += cap_loc                         # fused read row
     bytes_ += cap_loc * (3 * W + 1 + nS) * 4
-    return rows, bytes_
+    return rows, bytes_, locv_rows
 
 
 def multihost_probe(n_reads_per_host=2048, batch=512):
@@ -561,10 +571,19 @@ def main():
         step, cfg.max_hits, mt, with_stats=True)
     trips, n_unf = int(trips), int(n_unf)
     locv_on = dev.shard.locv.shape[-1] > 1
-    ex_rows, ex_bytes = gather_model(
+    # the fused locate+verify table gathers at a size-dependent rate
+    # (DESIGN.md table-size curve): price its rows with their OWN
+    # calibration instead of the cache-resident latk rate
+    ns_locv = (
+        calibrate_ns_per_row(
+            shard0.locv, n_rows=(1 << 22) if not args.smoke else (1 << 16))
+        if locv_on else ns_per_row
+    )
+    ex_rows, ex_bytes, ex_lrows = gather_model(
         B2, L, d, step, trips, n_unf, cfg.max_hits, 1, exact_lf,
         cfg.sa_rate, locv=locv_on)
-    sol_exact_rps = 1.0 / (ex_rows / B * ns_per_row * 1e-9)
+    sol_exact_rps = B / (
+        (ex_rows * ns_per_row + ex_lrows * ns_locv) * 1e-9)
     # k2 stats run on a B_k2-sized prep and normalize by B_k2: the k2
     # measurement runs at B_k2 (its working set evicts the gather tables
     # at larger batches — DESIGN.md "batch size, round 3"), so the model
@@ -580,10 +599,11 @@ def main():
             with_stats=True)
         trips_k2 += int(t_s)
         n_unf_k2 += int(u_s)
-    k2_rows, k2_bytes = gather_model(
+    k2_rows, k2_bytes, k2_lrows = gather_model(
         B2k, L, d_seed, step, trips_k2, n_unf_k2, cfg.max_cand, 3,
         k2_lf, cfg.sa_rate, locv=locv_on)
-    sol_k2_rps = 1.0 / (k2_rows / B_k2 * ns_per_row * 1e-9)
+    sol_k2_rps = B_k2 / (
+        (k2_rows * ns_per_row + k2_lrows * ns_locv) * 1e-9)
 
     # --- multihost launcher probe: one real 2-process CPU run ---
     mh_rps = mh_reads = mh_wall = None
@@ -648,8 +668,11 @@ def main():
             "k2_sol_fraction": round(k2_rps / sol_k2_rps, 4),
             "sol_exact_reads_per_s": round(sol_exact_rps, 1),
             "sol_k2_reads_per_s": round(sol_k2_rps, 1),
-            "model_rows_per_read_exact": round(ex_rows / B, 2),
-            "model_rows_per_read_k2": round(k2_rows / B_k2, 2),
+            "model_rows_per_read_exact": round((ex_rows + ex_lrows) / B, 2),
+            "model_rows_per_read_k2": round(
+                (k2_rows + k2_lrows) / B_k2, 2),
+            "model_locv_rows_per_read_exact": round(ex_lrows / B, 2),
+            "ns_per_row_locv": round(ns_locv, 2),
             "model_bytes_per_read_exact": round(ex_bytes / B, 1),
             "model_bytes_per_read_k2": round(k2_bytes / B_k2, 1),
             "hbm_frac_of_byte_bw": round(ex_bytes / B * exact_rps / bw, 5),
