@@ -50,9 +50,11 @@ def build_dma_gather(N, Wr, n_idx, G=1024, K=8, interpret=False):
         base = step * G
 
         def dma(j, slot):
+            # 2-D (1, Wr) slice copies: some Mosaic toolchains reject
+            # 1-D row refs from ANY-space operands
             return pltpu.make_async_copy(
-                table_ref.at[idx_ref[base + j]],
-                scratch.at[slot],
+                table_ref.at[pl.ds(idx_ref[base + j], 1), :],
+                scratch.at[pl.ds(slot, 1), :],
                 sems.at[slot],
             )
 
@@ -67,7 +69,7 @@ def build_dma_gather(N, Wr, n_idx, G=1024, K=8, interpret=False):
         def body(j, _):
             slot = jax.lax.rem(j, K)
             dma(j, slot).wait()
-            out_ref[0:1, :] += scratch[slot][None, :]
+            out_ref[0:1, :] += scratch[pl.ds(slot, 1), :]
 
             @pl.when(j + K < G)
             def _():
