@@ -102,11 +102,18 @@ class Shard(NamedTuple):
 
 @dataclasses.dataclass
 class DeviceIndexSet:
-    shard: Shard  # stacked on axis 0
+    # stacked on axis 0 (Shard) — the vmap/shard_map form — or a LIST
+    # of axis-free per-shard Shard trees (upload_index stacked=False:
+    # at human scale the stacked form costs either relayout copies
+    # under vmap or slice copies per dispatch — engine.Engine
+    # vmap_shards docstring)
+    shard: Shard | list
     shard_offsets: np.ndarray  # int64[S], host-side
 
     @property
     def n_shards(self) -> int:
+        if isinstance(self.shard, list):
+            return len(self.shard)
         return self.shard.lattice.shape[0]
 
 
@@ -115,7 +122,7 @@ LOCV_MAX_BYTES = 4 << 30  # fused locate+verify table HBM budget
 
 def upload_index(
     shards: list[FMIndex], device=None, read_len: int | None = None,
-    sharding_fn=None, locv: bool | None = None,
+    sharding_fn=None, locv: bool | None = None, stacked: bool = True,
 ) -> DeviceIndexSet:
     """Stack shards (padded to common shapes) and place on device.
 
@@ -151,27 +158,79 @@ def upload_index(
     # multi-step lattice: all shards must have it (same step) for the
     # (static) multi-step search path to be usable; otherwise ship a
     # dummy whose shape tells the pipelines to stay on the 1-step path.
-    if all(s.occk_lattice is not None for s in shards) and (
+    have_latk = all(s.occk_lattice is not None for s in shards) and (
         len({s.occk_lattice.shape[1] for s in shards}) == 1
-    ):
-        latk = pad_stack([s.occk_lattice for s in shards])
-        latk_inv = np.stack([s.occk_invalid for s in shards])
-    else:
-        latk = np.zeros((len(shards), 1, 1), dtype=np.int32)
-        latk_inv = np.full((len(shards), 4), -1, dtype=np.int32)
+    )
     from bwtpu.kernels.verify2 import build_locv_rows, locv_row_width
 
     if locv is None:
         locv = (
             shards[0].config.sa_rate == 1
-            and latk.shape[-1] > 1
+            and have_latk
             and sum(s.n for s in shards) * locv_row_width(read_len) * 4
             <= LOCV_MAX_BYTES
         )
+    if locv and shards[0].config.sa_rate != 1:
+        raise ValueError("locv table requires sa_rate == 1 (ssa must "
+                         "be the full row-ordered suffix array)")
+
+    if not stacked:
+        # axis-free per-shard trees: no stacked copy ever exists on the
+        # device, so no slice/relayout copies at dispatch (human scale;
+        # Engine vmap_shards docstring). Arrays are padded to common
+        # shapes so ONE compiled program serves every shard.
+        def pad_to(a, m):
+            if a.shape[0] == m:
+                return a
+            out = np.zeros((m,) + a.shape[1:], dtype=a.dtype)
+            out[: a.shape[0]] = a
+            return out
+
+        m_lat = max(s.search_lattice.shape[0] for s in shards)
+        m_latk = max(s.occk_lattice.shape[0] for s in shards) if have_latk else 1
+        m_ssa = max(s.ssa.shape[0] for s in shards)
+        m_tr = max(s.text_packed.view(np.int32).shape[0]
+                   for s in shards)  # text_rows rows == n_words
+        shard_list = []
+        for s in shards:
+            tr = build_text_rows(s.text_packed, read_len)
+            if locv:
+                lv = build_locv_rows(s.text_packed, s.ssa, read_len)
+                lv = pad_to(lv, m_ssa)
+            else:
+                lv = np.zeros((1, 1), dtype=np.int32)
+            shard_list.append(Shard(
+                lattice=put(pad_to(s.search_lattice, m_lat), 1),
+                latk=put(
+                    pad_to(s.occk_lattice, m_latk) if have_latk
+                    else np.zeros((1, 1), np.int32), 1),
+                latk_inv=put(
+                    s.occk_invalid if have_latk
+                    else np.full(4, -1, np.int32), 0),
+                ssa=put(pad_to(s.ssa, m_ssa), 0),
+                C=put(s.C, 0),
+                dollar_row=put(np.int32(s.dollar_row), 0),
+                n=put(np.int32(s.n), 0),
+                text_len=put(np.int32(s.text_len), 0),
+                text_rows=put(pad_to(tr, m_tr), 1),
+                locv=put(lv, 1),
+                kmer_tables={
+                    dd: put(s.kmer_tables[dd], 1) for dd in depths
+                },
+            ))
+        return DeviceIndexSet(
+            shard=shard_list,
+            shard_offsets=np.array(
+                [s.shard_offset for s in shards], np.int64),
+        )
+
+    if have_latk:
+        latk = pad_stack([s.occk_lattice for s in shards])
+        latk_inv = np.stack([s.occk_invalid for s in shards])
+    else:
+        latk = np.zeros((len(shards), 1, 1), dtype=np.int32)
+        latk_inv = np.full((len(shards), 4), -1, dtype=np.int32)
     if locv:
-        if shards[0].config.sa_rate != 1:
-            raise ValueError("locv table requires sa_rate == 1 (ssa must "
-                             "be the full row-ordered suffix array)")
         locv_arr = pad_stack([
             build_locv_rows(s.text_packed, s.ssa, read_len) for s in shards
         ])
@@ -869,15 +928,34 @@ class Engine:
         manifest: ShardManifest | None = None,
         backend: str | None = None,
         device=None,
+        vmap_shards: bool = True,
     ):
         self.shards = shards
         self.manifest = manifest
         self.config = shards[0].config
         self.backend = backend or default_backend()
-        self.dev = upload_index(shards, device=device)
+        self.dev = upload_index(shards, device=device, stacked=vmap_shards)
         self.kmer_depths = sorted(shards[0].kmer_tables)
         self.stats = BatchStats()
+        # vmap_shards=False: dispatch one program per shard instead of
+        # vmapping over the stacked shard axis. At human scale (10 x
+        # 250 Mbp shards, ~14 GB of tables) the vmapped program's
+        # batched gathers force relayout COPIES of the big tables and
+        # the compile OOMs HBM by ~11 GB (measured, round 4 — DESIGN.md
+        # "human-scale on-chip"); per-shard programs gather the sliced
+        # tables directly. Bacterial-scale multi-shard runs keep the
+        # vmapped single-dispatch (S serial dispatches each pay the
+        # relay's fixed latency — round-1 weak #6).
+        self.vmap_shards = vmap_shards
         self._compiled: dict = {}
+
+    def _shard_tree(self, s: int):
+        """Axis-free Shard tree for shard s (list mode returns the
+        uploaded per-shard tree directly — no device slice copy)."""
+        sh = self.dev.shard
+        if isinstance(sh, list):
+            return sh[s]
+        return jax.tree.map(lambda x: x[s], sh)
 
     def _caps(self, k: int, level: int):
         """Capacity set at heal level `level` (self-healing overflow,
@@ -967,12 +1045,11 @@ class Engine:
             )
             # compacted outputs skip the dense scatter_backs (TPU scatter
             # ~163 ns/element — docs/DESIGN.md); needs the multi-step path
-            compact = bool(_shard_occ_step(shard) and d >= 1)
+            compact = bool(_shard_occ_step(self._shard_tree(0)) and d >= 1)
             kind = "exact" if k == 0 else "inexact"
             fn = self._packed_fn(kind, k, d, L, compact, level=_level)
             for s in range(S):
-                sh_s = jax.tree.map(lambda x: x[s], shard)
-                shard_outs.append(fn(sh_s, rw, ab))
+                shard_outs.append(fn(self._shard_tree(s), rw, ab))
             mode = "compact" if compact else "dense"
             return (reads, B, k, shard_outs, time.perf_counter(), mode,
                     _level)
@@ -982,18 +1059,18 @@ class Engine:
             d = pick_kmer_depth(self.kmer_depths, enc.min_len)
             fn = self._exact_fn(d, level=_level)
             for s in range(S):
-                sh_s = jax.tree.map(lambda x: x[s], shard)
-                shard_outs.append(fn(sh_s, enc.ra_codes, enc.ra_amb, enc.lens))
+                shard_outs.append(
+                    fn(self._shard_tree(s), enc.ra_codes, enc.ra_amb,
+                       enc.lens))
         else:
             d = pick_kmer_depth(self.kmer_depths, enc.min_seed_len)
             fn = self._inexact_fn(k, d, level=_level)
             for s in range(S):
-                sh_s = jax.tree.map(lambda x: x[s], shard)
                 shard_outs.append(
                     fn(
-                        sh_s, enc.seed_ra, enc.seed_amb, enc.seed_lens,
-                        enc.seed_off, enc.read_words, enc.amb_bits,
-                        enc.len_mask, enc.lens,
+                        self._shard_tree(s), enc.seed_ra, enc.seed_amb,
+                        enc.seed_lens, enc.seed_off, enc.read_words,
+                        enc.amb_bits, enc.len_mask, enc.lens,
                     )
                 )
         return (reads, B, k, shard_outs, time.perf_counter(), "dense",
@@ -1188,13 +1265,13 @@ class Engine:
             amb_all = np.full((Bp - block.n, W), 0x55555555, np.int32)
             ab = np.concatenate([ab, amb_all])
         d = pick_kmer_depth(self.kmer_depths, L if k == 0 else L // (k + 1))
-        compact = bool(_shard_occ_step(self.dev.shard) and d >= 1)
+        compact = bool(_shard_occ_step(self._shard_tree(0)) and d >= 1)
         kind = "exact" if k == 0 else "inexact"
         mh, mc, lf, hf = self._caps(k, _level)
         Ct = (k + 1) * mc if k else mh
         # hits mode packs (sel, nm) into one int32: sel*4 + nm
         hits = compact and 2 * Bp * Ct * 4 < 2**31
-        if hits and self.backend == "jnp":
+        if hits and self.backend == "jnp" and self.vmap_shards:
             # all S shards in ONE dispatch (vmap over the stacked shard
             # axis — r1 weak #6: S serial dispatches each paid the
             # relay's fixed latency) and later ONE stacked fetch. The
@@ -1209,8 +1286,7 @@ class Engine:
                              level=_level)
         shard_outs = []
         for s in range(self.dev.n_shards):
-            sh_s = jax.tree.map(lambda x: x[s], self.dev.shard)
-            shard_outs.append(fn(sh_s, rw, ab))
+            shard_outs.append(fn(self._shard_tree(s), rw, ab))
         mode = "hits" if hits else ("compact" if compact else "dense")
         return ("block", block, Bp, k, shard_outs, time.perf_counter(), mode,
                 _level)

@@ -69,7 +69,9 @@ def main():
             del s.kmer_tables[dd]
 
     t0 = time.time()
-    eng = Engine(shards, manifest)
+    # vmap_shards=False: the stacked-vmap program relayout-copies the
+    # big tables and OOMs HBM at this scale (engine.Engine docstring)
+    eng = Engine(shards, manifest, vmap_shards=False)
     hbm = sum(
         int(np.prod(x.shape)) * 4
         for x in jax.tree.leaves(eng.dev.shard)
