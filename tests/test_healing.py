@@ -50,7 +50,7 @@ def test_heal_single_chip_matches_golden():
         Read("rep1", genome[off + 5 : off + 41]),
         Read("uniq", genome[100:136]),
     ]
-    for k in (0, 1, 2):
+    for k in (0, 2):  # k=1 adds compiles, not coverage
         got = eng.align_batch(reads, k=k)
         for r, hits in zip(reads, got):
             assert hits == golden.align_read(r.seq, k=k), (k, r.rid)

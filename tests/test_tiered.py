@@ -62,7 +62,8 @@ def _run_tiered(genome, reads, k, cfg, esc_factor=1.0):
     return out_lists
 
 
-@pytest.mark.parametrize("k", [1, 2])
+@pytest.mark.parametrize(
+    "k", [pytest.param(1, marks=pytest.mark.scale), 2])
 def test_tiered_stratum_contract(k):
     genome = random_genome(50_000, seed=21)
     golden = GoldenFMIndex(genome)
