@@ -146,9 +146,9 @@ def gather_model(B2, L, d, step, trips, n_unf, max_loc, nS,
     else:
         rows += cap_loc * sa_rate
         bytes_ += cap_loc * sa_rate * 128
-    if not locv:                            # verify text row
+    if not locv:                            # verify text row (stride-8)
         rows += cap_loc
-        bytes_ += cap_loc * window_row_width(L) * 4
+        bytes_ += cap_loc * (window_row_width(L) + 7) * 4
     rows += cap_loc                         # fused read row
     bytes_ += cap_loc * (3 * W + 1 + nS) * 4
     return rows, bytes_, locv_rows

@@ -189,11 +189,10 @@ def upload_index(
         m_lat = max(s.search_lattice.shape[0] for s in shards)
         m_latk = max(s.occk_lattice.shape[0] for s in shards) if have_latk else 1
         m_ssa = max(s.ssa.shape[0] for s in shards)
-        m_tr = max(s.text_packed.view(np.int32).shape[0]
-                   for s in shards)  # text_rows rows == n_words
+        trs = [build_text_rows(s.text_packed, read_len) for s in shards]
+        m_tr = max(t.shape[0] for t in trs)
         shard_list = []
-        for s in shards:
-            tr = build_text_rows(s.text_packed, read_len)
+        for s, tr in zip(shards, trs):
             if locv:
                 lv = build_locv_rows(s.text_packed, s.ssa, read_len)
                 lv = pad_to(lv, m_ssa)

@@ -32,16 +32,33 @@ EVEN = np.uint32(0x55555555)
 
 
 def window_row_width(read_len: int) -> int:
-    """Words per text row so any read_len window at any phase fits."""
+    """Words per text window so any read_len window at any phase fits."""
     return (2 * read_len + 30 + 31) // 32 + 1
 
 
+# Text rows are stride-8: row i carries words [8i, 8i + 7 + R), so a
+# candidate at word w gathers row w >> 3 and funnel-selects by w & 7
+# (3 log-step selects — pure elementwise). Stride-1 rows (round 1-3)
+# cost 9 words/row at L=100 — a shape the TPU pads AND relayouts: at
+# human scale the compiler materialized a 9.31 GB transposed COPY of
+# the (10, 15.6M, 9) stacked table (1.8x padding on top), the single
+# largest allocation of the OOM breakdown (round 4). Stride-8 cuts the
+# table 8x (row width R+7 amortizes 8 start positions) and the copy,
+# if XLA still makes one, shrinks with it.
+TEXT_ROW_STRIDE = 8
+
+
 def build_text_rows(text_packed: np.ndarray, read_len: int) -> np.ndarray:
-    """Host: stride-1 overlap rows over the packed text words."""
-    R = window_row_width(read_len)
+    """Host: stride-8 overlap rows over the packed text words."""
+    R = window_row_width(read_len) + TEXT_ROW_STRIDE - 1
     w = text_packed.view(np.int32)
-    padded = np.concatenate([w, np.zeros(R, dtype=np.int32)])
-    return np.lib.stride_tricks.sliding_window_view(padded, R)[: len(w)].copy()
+    n_rows = -(-len(w) // TEXT_ROW_STRIDE)
+    padded = np.concatenate(
+        [w, np.zeros(n_rows * TEXT_ROW_STRIDE + R - len(w), dtype=np.int32)]
+    )
+    return np.lib.stride_tricks.sliding_window_view(padded, R)[
+        :: TEXT_ROW_STRIDE
+    ][:n_rows].copy()
 
 
 def pack_reads(codes: np.ndarray, amb: np.ndarray, lens: np.ndarray):
@@ -164,7 +181,20 @@ def verify_packed(
     W = read_words.shape[1]
     in_range = cvalid & (cand >= 0) & (cand + lens <= text_len)
     pos = jnp.where(in_range, cand, 0)
-    rows = jnp.take(text_rows, pos >> 4, axis=0)  # (Cc, R) one gather
+    w_idx = pos >> 4
+    raw = jnp.take(text_rows, w_idx >> 3, axis=0)  # stride-8 row gather
+    # align the window to word w_idx: funnel-select by w_idx & 7
+    # (log-step word shifts — elementwise, fused into the gather
+    # consumer; see TEXT_ROW_STRIDE)
+    sub = w_idx & (TEXT_ROW_STRIDE - 1)
+    b = 1
+    while b < TEXT_ROW_STRIDE:
+        shifted = jnp.concatenate(
+            [raw[:, b:], jnp.zeros_like(raw[:, :b])], axis=1
+        )
+        raw = jnp.where((sub[:, None] & b) != 0, shifted, raw)
+        b <<= 1
+    rows = raw  # (Cc, R+7); consumers slice [:W] / [1:W+1]
     if backend == "pallas":
         from bwtpu.kernels.pallas_step import verify_nm_pallas
 
