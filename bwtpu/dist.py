@@ -224,6 +224,7 @@ def build_ring_align_packed(
     loc_factor: int = 2,
     backend: str = "jnp",
     cap_scale: int = 1,
+    wide_steps: int = 0,
 ):
     """Packed-uniform ring align: only 2-bit packed forward reads rotate
     around the 'shard' ICI ring (16x less link traffic than int32 code
@@ -257,7 +258,7 @@ def build_ring_align_packed(
                 pos, valid, overflow, loc_over = exact_pipeline_packed(
                     shard, rw, ab, L=L, d=d, max_hits=max_hits,
                     sa_rate=sa_rate, loc_factor=loc_factor, backend=backend,
-                    cap_scale=cap_scale,
+                    cap_scale=cap_scale, wide_steps=wide_steps,
                 )
                 upd = jax.lax.dynamic_update_index_in_dim
                 hp = upd(hp, pos, my_shard, 1)
@@ -292,6 +293,7 @@ def build_ring_align_packed(
                         shard, rw, ab, L=L, k=k, d=d, max_loc=max_cand,
                         sa_rate=sa_rate, loc_factor=loc_factor,
                         backend=backend, cap_scale=cap_scale,
+                        wide_steps=wide_steps,
                     )
                 )
                 upd = jax.lax.dynamic_update_index_in_dim
@@ -332,6 +334,7 @@ def build_ring_align_compact(
     min_trips: int = 0,
     backend: str = "jnp",
     cap_scale: int = 1,
+    wide_steps: int = 0,
 ):
     """Flagship ring: packed reads rotate, COMPACTED hits come home in
     one final all-to-all (VERDICT r2 missing #2 / next #2).
@@ -390,6 +393,7 @@ def build_ring_align_compact(
                     sa_rate=sa_rate, loc_factor=loc_factor,
                     min_trips=min_trips, backend=backend,
                     compact_output=True, cap_scale=cap_scale,
+                    wide_steps=wide_steps,
                 )
             else:
                 cand_c, nm_c, sel, count, overflow, co = (
@@ -398,6 +402,7 @@ def build_ring_align_compact(
                         sa_rate=sa_rate, loc_factor=loc_factor,
                         min_trips=min_trips, backend=backend,
                         compact_output=True, cap_scale=cap_scale,
+                        wide_steps=wide_steps,
                     )
                 )
             upd = jax.lax.dynamic_update_index_in_dim
@@ -499,6 +504,19 @@ class DistEngine:
             )
         return np.asarray(x)
 
+    def _wide_steps(self, d: int) -> int:
+        """Same rule as engine.Engine._wide_steps (wide start-table
+        intervals must be narrowed with two-gather 1-step trips before
+        the multi-step loop — human-scale shards)."""
+        if d <= 0:
+            return 0
+        lam = max(sh.n for sh in self.shards) / 4.0 ** d
+        w = 0
+        while lam > 32 and w < 8:
+            lam /= 4
+            w += 1
+        return w
+
     def _caps(self, k: int, level: int):
         """Escalated capacities for self-healing overflow (same rule as
         engine.Engine._caps: every cap doubles per heal level)."""
@@ -532,6 +550,7 @@ class DistEngine:
                 max_hits=mh, max_cand=mc,
                 sa_rate=self.config.sa_rate,
                 loc_factor=lf, backend=self.backend, cap_scale=1 << level,
+                wide_steps=self._wide_steps(d),
             )
         return self._compiled[key]
 
@@ -546,6 +565,7 @@ class DistEngine:
                 loc_factor=lf,
                 min_trips=self.config.min_trips, backend=self.backend,
                 cap_scale=1 << level,
+                wide_steps=self._wide_steps(d),
             )
         return self._compiled[key]
 

@@ -289,7 +289,8 @@ def search_early_stop_uniform(
 
 
 @partial(jax.jit, static_argnames=("off", "L", "d", "step", "stop_width",
-                                   "min_trips", "with_stats", "cap_scale"))
+                                   "min_trips", "with_stats", "cap_scale",
+                                   "wide_steps"))
 def search_early_stop_packed(
     lattice: jnp.ndarray,
     latk: jnp.ndarray,
@@ -307,6 +308,7 @@ def search_early_stop_packed(
     min_trips: int = 0,
     with_stats: bool = False,
     cap_scale: int = 1,
+    wide_steps: int = 0,
 ) -> tuple[jnp.ndarray, ...]:
     """search_early_stop_uniform on 2-bit PACKED rows (the production
     prep path): the k-mer start key, the per-trip s-mer codes and the
@@ -329,10 +331,24 @@ def search_early_stop_packed(
     compaction cap (docs/DESIGN.md "candidate thinning"). Stopping
     later is always sound — the verify decides the superset either
     way.
+
+    wide_steps > 0 (round 4, human scale): the multi-step record only
+    serves both bounds within its 256-row window, so an interval wider
+    than that flags the lane a straggler. At genome scales where the
+    start-table intervals are hundreds wide (E[width] = n/4^d — ~600
+    at 2.5 Gbp with d=11), EVERY lane would straggle into the tiny
+    compacted finisher (measured: 7/8 of a 131 K-lane batch lost to
+    fixup capacity — DESIGN.md). The wide phase runs `wide_steps`
+    always-correct TWO-gather 1-step narrowings (any width) on the
+    chain's right end first, dividing widths 4x per step, then hands
+    the narrowed intervals to the multi-step loop. Callers size it so
+    E[width] after the phase is <= ~32 (engine._wide_steps); 0 at
+    bacterial scale — the flagship path is unchanged.
     """
     from bwtpu.kernels import prep
 
     assert d >= 1 and L >= d and step in (3, 4), (L, d, step)
+    assert 0 <= wide_steps <= L - d, (wide_steps, L, d)
     A = 4**step
     R = OCCK_BLOCK[step]
     B = words.shape[0]
@@ -343,14 +359,35 @@ def search_early_stop_packed(
     ep0 = jnp.where(amb_tail, 0, start[:, 1])
 
     chain = L - d
-    p = chain % step
-    T = chain // step
     rem = jnp.full(B, chain, jnp.int32)
     strag = jnp.zeros(B, dtype=bool)
     width0 = ep0 - sp0
     may_stop0 = (width0 <= 0) if min_trips > 0 else (width0 <= stop_width)
     stopped = may_stop0
     sp, ep = sp0, ep0
+
+    for ws in range(wide_steps):
+        posn = off + chain - 1 - ws
+        c = prep.extract_bits(words, posn, 2).astype(jnp.int32)
+        a = prep.extract_bits(amb_bits, posn, 2) != 0
+        act = ~stopped
+        spm = jnp.where(act, sp, 0)
+        epm = jnp.where(act, ep, 0)
+        o = common.occ(
+            lattice, dollar_row,
+            jnp.concatenate([c, c]), jnp.concatenate([spm, epm]),
+        )
+        cbase = common.select_scalar_table(C, c + 1, 8)
+        spn = jnp.where(a, 0, cbase + o[:B])
+        epn = jnp.where(a, 0, cbase + o[B:])
+        sp = jnp.where(act, spn, sp)
+        ep = jnp.where(act, epn, ep)
+        rem = jnp.where(act, rem - 1, rem)
+        stopped = stopped | (act & ((ep - sp) <= 0))
+
+    chain = chain - wide_steps
+    p = chain % step
+    T = chain // step
 
     # compacted-finisher capacity (cap_scale = healing escalation)
     cap = min(B, max(256, B // 64) * cap_scale)

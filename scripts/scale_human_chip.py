@@ -68,10 +68,27 @@ def main():
         for dd in [d for d in list(s.kmer_tables) if d != keep]:
             del s.kmer_tables[dd]
 
+    import dataclasses as _dc
+    import gc
+
+    # Caps sized for 2.5 Gbp spurious-candidate density (an 11-mer
+    # start leaves ~600-wide intervals; lanes stop at suffix ~17 with
+    # ~0.15 spurious/lane exact, ~0.6/seed-lane at k2 across 3 seeds),
+    # so the rate loops run heal-free; the first run at the artifact's
+    # bacterial-scale defaults healed 22 times (correct, never lossy —
+    # but the measured rate then includes recompiles).
+    cfg0 = shards[0].config
+
+    def engine_with(lf):
+        sh = [_dc.replace(s, config=cfg0.replace(loc_factor=lf))
+              for s in shards]
+        # vmap_shards=False: the stacked-vmap program relayout-copies
+        # the big tables and OOMs HBM at this scale (engine.Engine
+        # docstring)
+        return Engine(sh, manifest, vmap_shards=False)
+
     t0 = time.time()
-    # vmap_shards=False: the stacked-vmap program relayout-copies the
-    # big tables and OOMs HBM at this scale (engine.Engine docstring)
-    eng = Engine(shards, manifest, vmap_shards=False)
+    eng = engine_with(1.5)
     hbm = sum(
         int(np.prod(x.shape)) * 4
         for x in jax.tree.leaves(eng.dev.shard)
@@ -79,36 +96,7 @@ def main():
     out["upload_s"] = round(time.time() - t0, 1)
     out["hbm_resident_gb"] = round(hbm / 1e9, 2)
 
-    # ---- truth recovery on >= 8 K reads (global positions, int64) ----
-    t0 = time.time()
-    # shards overlap (build_sharded_index overlap), so the original
-    # genome length is the manifest's, not sum(text_len)
-    bp = int(manifest.total_len) if manifest else 2_500_000_000
-    genome = random_genome(bp, seed=args.genome_seed)
-    out["genome_regen_s"] = round(time.time() - t0, 1)
-    reads, truth = simulate_reads(genome, args.n_truth, read_len=100,
-                                  max_mismatches=2, seed=6)
-    del genome
-
-    blk = ReadBlock.from_reads(reads)
-    flat = eng.finish_block(eng.dispatch_block(blk, 2, pad_to=blk.n))
-    lists = hit_lists(flat)
-    rec = sum(
-        any(h.pos == t["pos"] and h.strand == t["strand"]
-            and h.nm == t["nm"] for h in hs)
-        for t, hs in zip(truth, lists)
-    )
-    beyond = [i for i, t in enumerate(truth) if t["pos"] > 2**31]
-    rec_beyond = sum(
-        any(h.pos == truth[i]["pos"] and h.strand == truth[i]["strand"]
-            for h in lists[i]) for i in beyond
-    )
-    out["truth_reads"] = args.n_truth
-    out["truth_recovered"] = int(rec)
-    out["truth_beyond_int32"] = len(beyond)
-    out["recovered_beyond_int32"] = int(rec_beyond)
-
-    # ---- device rate, exact + k2 (vmapped all-shard hits dispatch) ----
+    # ---- device rate helpers ----
     def measure(k, B):
         encs = [simulate_reads_fast(B, i) for i in range(2)]
         # warm/compile
@@ -144,9 +132,47 @@ def main():
             qual=np.full((B, 100), ord("I"), np.uint8),
         )
 
+    # ---- exact rate on the lf=1.5 engine ----
     t0 = time.time()
     out["exact_reads_per_s"] = round(measure(0, args.batch), 1)
     out["exact_measure_s"] = round(time.time() - t0, 1)
+    out["exact_heals"] = eng.stats.heals
+
+    # ---- truth recovery on >= 8 K reads (global positions, int64) ----
+    t0 = time.time()
+    # shards overlap (build_sharded_index overlap), so the original
+    # genome length is the manifest's, not sum(text_len)
+    bp = int(manifest.total_len) if manifest else 2_500_000_000
+    genome = random_genome(bp, seed=args.genome_seed)
+    out["genome_regen_s"] = round(time.time() - t0, 1)
+    reads, truth = simulate_reads(genome, args.n_truth, read_len=100,
+                                  max_mismatches=2, seed=6)
+    del genome
+
+    # truth + k2 rate run on the k2-cap engine (exact engine freed
+    # first: two resident indexes would not fit HBM)
+    del eng
+    gc.collect()
+    eng = engine_with(4)
+    blk = ReadBlock.from_reads(reads)
+    flat = eng.finish_block(eng.dispatch_block(blk, 2, pad_to=blk.n))
+    lists = hit_lists(flat)
+    rec = sum(
+        any(h.pos == t["pos"] and h.strand == t["strand"]
+            and h.nm == t["nm"] for h in hs)
+        for t, hs in zip(truth, lists)
+    )
+    beyond = [i for i, t in enumerate(truth) if t["pos"] > 2**31]
+    rec_beyond = sum(
+        any(h.pos == truth[i]["pos"] and h.strand == truth[i]["strand"]
+            for h in lists[i]) for i in beyond
+    )
+    out["truth_reads"] = args.n_truth
+    out["truth_recovered"] = int(rec)
+    out["truth_beyond_int32"] = len(beyond)
+    out["recovered_beyond_int32"] = int(rec_beyond)
+
+    # ---- k2 rate ----
     t0 = time.time()
     out["k2_reads_per_s"] = round(measure(2, args.k2_batch), 1)
     out["k2_measure_s"] = round(time.time() - t0, 1)
