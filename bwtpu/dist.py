@@ -512,7 +512,11 @@ class DistEngine:
             return 0
         lam = max(sh.n for sh in self.shards) / 4.0 ** d
         w = 0
-        while lam > 32 and w < 8:
+        # target E[width] <= 8: at ~15 (2.5 Gbp, d=12) the FIRST
+        # multi-step trip still straggles ~6% of lanes (interval spans
+        # the 256-row window with P ~ width/256) — more than the B/64
+        # finisher, so every batch healed; <= 8 leaves ~2x headroom
+        while lam > 8 and w < 8:
             lam /= 4
             w += 1
         return w

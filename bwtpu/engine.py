@@ -959,13 +959,17 @@ class Engine:
         2.5 Gbp with d=11) every lane would straggle into the tiny
         compacted finisher (measured: 7/8 of a 131 K-lane batch at
         human scale, DESIGN.md round 4). Each wide step narrows 4x at
-        two always-correct gathers; sized so E[width] <= 32 after the
+        two always-correct gathers; sized so E[width] <= 8 after the
         phase. 0 at bacterial scale — the flagship path is unchanged."""
         if d <= 0:
             return 0
         lam = max(sh.n for sh in self.shards) / 4.0 ** d
         w = 0
-        while lam > 32 and w < 8:
+        # target E[width] <= 8: at ~15 (2.5 Gbp, d=12) the FIRST
+        # multi-step trip still straggles ~6% of lanes (interval spans
+        # the 256-row window with P ~ width/256) — more than the B/64
+        # finisher, so every batch healed; <= 8 leaves ~2x headroom
+        while lam > 8 and w < 8:
             lam /= 4
             w += 1
         return w

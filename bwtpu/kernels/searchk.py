@@ -342,7 +342,7 @@ def search_early_stop_packed(
     always-correct TWO-gather 1-step narrowings (any width) on the
     chain's right end first, dividing widths 4x per step, then hands
     the narrowed intervals to the multi-step loop. Callers size it so
-    E[width] after the phase is <= ~32 (engine._wide_steps); 0 at
+    E[width] after the phase is <= ~8 (engine._wide_steps); 0 at
     bacterial scale — the flagship path is unchanged.
     """
     from bwtpu.kernels import prep
