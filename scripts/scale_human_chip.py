@@ -36,7 +36,7 @@ def main():
     ap.add_argument("--kmer-d", type=int, default=11,
                     help="single start-table depth to keep resident "
                          "(the full ladder at 10 shards costs HBM)")
-    ap.add_argument("--k2-batch", type=int, default=16384)
+    ap.add_argument("--k2-batch", type=int, default=32768)
     ap.add_argument("--genome-seed", type=int, default=5,
                     help="seed scale_human.py used (truth simulation "
                          "regenerates the genome)")
@@ -88,7 +88,7 @@ def main():
         return Engine(sh, manifest, vmap_shards=False)
 
     t0 = time.time()
-    eng = engine_with(1.5)
+    eng = engine_with(1.0)
     hbm = sum(
         int(np.prod(x.shape)) * 4
         for x in jax.tree.leaves(eng.dev.shard)
@@ -153,7 +153,7 @@ def main():
     # first: two resident indexes would not fit HBM)
     del eng
     gc.collect()
-    eng = engine_with(4)
+    eng = engine_with(6)
     blk = ReadBlock.from_reads(reads)
     flat = eng.finish_block(eng.dispatch_block(blk, 2, pad_to=blk.n))
     lists = hit_lists(flat)
