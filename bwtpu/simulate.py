@@ -82,6 +82,7 @@ def simulate_reads(
     revcomp_frac: float = 0.5,
     n_frac: float = 0.0,
     seed: int = 1,
+    error_rate: float | None = None,
 ) -> tuple[list[Read], list[dict]]:
     """Sample reads from the genome with known truth.
 
@@ -89,6 +90,14 @@ def simulate_reads(
     the sampled origin of read i. Mismatches are substitutions at
     distinct positions; with n_frac > 0, some read bases become 'N'
     (each N also counts toward nm since N matches nothing).
+
+    error_rate: when set, the per-read mismatch count is drawn
+    Binomial(read_len, error_rate) truncated at max_mismatches — a
+    realistic sequencing-error profile (e.g. 0.5%/base: ~61% of 100 bp
+    reads are error-free) instead of the adversarial uniform
+    {0..max_mismatches} default (VERDICT r4 item 5: the uniform set
+    escalates ~2/3 of reads in the tiered pipeline, which no production
+    read set does).
     """
     rng = np.random.default_rng(seed)
     g = dna.encode(genome)
@@ -99,7 +108,11 @@ def simulate_reads(
     for i in range(n_reads):
         pos = int(rng.integers(0, n - read_len + 1))
         window = g[pos : pos + read_len].copy()
-        nm = int(rng.integers(0, max_mismatches + 1)) if max_mismatches else 0
+        if error_rate is not None:
+            nm = min(int(rng.binomial(read_len, error_rate)), max_mismatches)
+        else:
+            nm = (int(rng.integers(0, max_mismatches + 1))
+                  if max_mismatches else 0)
         mm_pos = rng.choice(read_len, size=nm, replace=False) if nm else []
         for p in mm_pos:
             window[p] = (window[p] + int(rng.integers(1, 4))) % 4
