@@ -469,6 +469,12 @@ class DistEngine:
         self.kmer_depths = sorted(shards[0].kmer_tables)
         self.debug_checks = debug_checks
         self._compiled: dict = {}
+        # per-read truncation flags for THIS HOST's reads from the most
+        # recent finish_batch, set only when the final heal level still
+        # overflowed (ADVICE r4: the dist path used to log-only where
+        # the single-chip block path marks xo:i:1) — consumers
+        # (bwtpu.multihost) read it right after finish_batch
+        self.last_truncated: np.ndarray | None = None
 
     @property
     def n_lanes(self) -> int:
@@ -626,6 +632,10 @@ class DistEngine:
         co = int(self._get_local(comp_over).sum())
         ov = self._get_local(overflow)  # (B2_local, S) per-row counts
         n_over = int((ov.sum(axis=-1) > 0).sum())
+        # per-read truncation: deinterleave to [all fwd | all rev] and
+        # OR the two strand rows of each read
+        ovd = self._deinterleave(ov, B2).sum(axis=-1)
+        trunc = ((ovd[:Bp] + ovd[Bp:]) > 0)[: len(reads)]
         pos = self._deinterleave(self._get_local(pos), B2).transpose(1, 0, 2)
         valid = self._deinterleave(self._get_local(valid), B2).transpose(1, 0, 2)
         hits = assemble_hits(
@@ -633,7 +643,7 @@ class DistEngine:
             [sh.text_len for sh in self.shards],
             [sh.shard_offset for sh in self.shards],
         )
-        return hits, n_over, co
+        return hits, n_over, co, trunc
 
     def _finish_packed_compact(self, handle):
         """Decode the compact ring's homed hit blocks.
@@ -657,6 +667,12 @@ class DistEngine:
         co = int(self._get_local(hco).sum())
         hov = self._get_local(hov).reshape(n_dev, S, 2 * b_loc)
         n_over = int((hov.sum(axis=1) > 0).sum())
+        # per-read truncation: read i lives on device i // b_loc at
+        # local fwd lane i % b_loc, rev lane b_loc + i % b_loc
+        ov2 = hov.sum(axis=1)  # (n_dev, 2*b_loc)
+        trunc = (
+            (ov2[:, :b_loc] + ov2[:, b_loc:]).reshape(-1) > 0
+        )[: len(reads)]
         s_l, row_l, p_l, m_l = [], [], [], []
         for bi in range(n_dev):
             for s in range(S):
@@ -684,7 +700,7 @@ class DistEngine:
             [sh.text_len for sh in self.shards],
             [sh.shard_offset for sh in self.shards],
         )
-        return hits, n_over, co
+        return hits, n_over, co, trunc
 
     def dispatch_batch(self, reads, k: int | None = None,
                        packed: bool | None = None, _level: int = 0):
@@ -757,6 +773,8 @@ class DistEngine:
         co = int(np.asarray(comp_over).sum())
         ov = np.asarray(overflow)  # (B2, S) per-row counts
         n_over = int((ov.sum(axis=-1) > 0).sum())
+        ovs = ov.sum(axis=-1)
+        trunc = ((ovs[:B] + ovs[B:]) > 0)[: len(reads)]
         # (B2, S, H) -> (S, B2, H) to share the assembly helper
         pos = np.asarray(pos).transpose(1, 0, 2)
         valid = np.asarray(valid).transpose(1, 0, 2)
@@ -765,7 +783,7 @@ class DistEngine:
             [sh.text_len for sh in self.shards],
             [sh.shard_offset for sh in self.shards],
         )
-        return hits, n_over, co
+        return hits, n_over, co, trunc
 
     def _overflow_agreed(self, bad: int) -> int:
         """Pod-wide overflow total: every process must take the same
@@ -784,13 +802,13 @@ class DistEngine:
         tag, reads = handle[0], handle[1]
         k, level = handle[3], handle[5]
         if tag == "packed_compact":
-            hits, n_over, co = self._finish_packed_compact(handle)
+            hits, n_over, co, trunc = self._finish_packed_compact(handle)
             packed = True
         elif tag == "packed":
-            hits, n_over, co = self._finish_packed(handle)
+            hits, n_over, co, trunc = self._finish_packed(handle)
             packed = True
         else:
-            hits, n_over, co = self._finish_ragged(handle)
+            hits, n_over, co, trunc = self._finish_ragged(handle)
             packed = False
         cfg = self.config
         bad = self._overflow_agreed(n_over + co)
@@ -806,6 +824,10 @@ class DistEngine:
             return self.finish_batch(
                 self.dispatch_batch(reads, k, packed, _level=level + 1)
             )
+        # final level: expose per-read truncation for the emit path
+        # (innermost call of the heal recursion wins — that IS the
+        # final level's run)
+        self.last_truncated = trunc if n_over else None
         if co:
             log.warning(
                 "dist align: compaction overflow by %d rows after %d "

@@ -686,11 +686,15 @@ def exact_pipeline_packed(shard, read_words, amb_bits, *, L, d, max_hits,
         # code planes (measured ~32 ms/batch of layout churn, DESIGN.md
         # "packed prep").
         rw2, ab2, lens2, lm2 = device_prep_packed(read_words, amb_bits, L)
+        # clamp like _seed_expand_packed does: short reads against a
+        # deep-kmer large-genome index can have L - d < the engine's
+        # genome-sized wide_steps, which trips searchk's trace-time
+        # assert on an otherwise valid align run (ADVICE r4)
         sp, ep, rem, fix_over = search_early_stop_packed(
             shard.lattice, shard.latk, shard.latk_inv, shard.C,
             shard.dollar_row, shard.kmer_tables[d], rw2, ab2, 0, L, d,
             step, max_hits, min_trips, cap_scale=cap_scale,
-            wide_steps=wide_steps,
+            wide_steps=min(wide_steps, max(L - d, 0)),
         )
         out = _inexact_from_intervals(
             shard, sp, ep, rem, rw2, ab2, lm2, lens2,
@@ -822,7 +826,7 @@ def tiered_pipeline_packed(shard, read_words, amb_bits, *, L, k, d, d_seed,
         shard.lattice, shard.latk, shard.latk_inv, shard.C,
         shard.dollar_row, shard.kmer_tables[d], rw2, ab2, 0, L, d,
         step, max_hits, min_trips, cap_scale=cap_scale,
-        wide_steps=wide_steps,
+        wide_steps=min(wide_steps, max(L - d, 0)),
     )
     cand1, nm1, sel1, cnt1, ov1, co1 = _inexact_from_intervals(
         shard, sp, ep, rem, rw2, ab2, lm2, lens2,
@@ -982,6 +986,16 @@ class Engine:
             return sh[s]
         return jax.tree.map(lambda x: x[s], sh)
 
+    def _occ_step(self) -> int:
+        """Multi-step size from shape metadata alone. dispatch_* used to
+        call _shard_occ_step(self._shard_tree(0)), which in stacked mode
+        eagerly slice-copies EVERY shard-0 table (potentially hundreds
+        of MB) per dispatch just to read a static width (ADVICE r4); the
+        stacked latk's trailing dim is identical without slicing."""
+        sh = self.dev.shard
+        latk = sh[0].latk if isinstance(sh, list) else sh.latk
+        return OCCK_STEP_FROM_WIDTH.get(latk.shape[-1], 0)
+
     def _caps(self, k: int, level: int):
         """Capacity set at heal level `level` (self-healing overflow,
         VERDICT r3 item 3): every capacity doubles per level, so a batch
@@ -1070,7 +1084,7 @@ class Engine:
             )
             # compacted outputs skip the dense scatter_backs (TPU scatter
             # ~163 ns/element — docs/DESIGN.md); needs the multi-step path
-            compact = bool(_shard_occ_step(self._shard_tree(0)) and d >= 1)
+            compact = bool(self._occ_step() and d >= 1)
             kind = "exact" if k == 0 else "inexact"
             fn = self._packed_fn(kind, k, d, L, compact, level=_level)
             for s in range(S):
@@ -1148,6 +1162,8 @@ class Engine:
                 # the three slice dispatches. Hits are a subset of the
                 # cap-compacted candidates, so reusing the same cap
                 # introduces no new overflow class.
+                Ct_l = (k + 1) * (mc if k else mh)
+
                 def fn(shard, rw, ab):
                     cand_c, nm_c, sel, count, overflow, co = pipe(shard, rw, ab)
                     keep = (nm_c <= k) & (
@@ -1160,6 +1176,18 @@ class Engine:
                         compact_cap(2 * rw.shape[0], hf, 1 << level),
                     )
                     sel2, cnt2, hover = compact_mask(keep, hit_cap)
+                    # hit-compaction drops join the per-row overflow
+                    # bitmap: with healing disabled (heal_overflow=False
+                    # or max_heals=0) those reads' hits were previously
+                    # dropped with only a log warning and no xo:i:1
+                    # truncation mark (ADVICE r4) — hover == 0 was only
+                    # structurally guaranteed at heal level >= 1
+                    drop = keep & (
+                        jnp.cumsum(keep.astype(jnp.int32)) > hit_cap
+                    )
+                    overflow = overflow.at[sel // Ct_l].add(
+                        drop.astype(jnp.int32), mode="drop"
+                    )
                     # ONE row gather for the whole payload: separate
                     # element takes of (cand, sel, nm) each cost a full
                     # per-element gather — measured 19.4 ms of a 61 ms
@@ -1296,7 +1324,7 @@ class Engine:
             amb_all = np.full((Bp - block.n, W), 0x55555555, np.int32)
             ab = np.concatenate([ab, amb_all])
         d = pick_kmer_depth(self.kmer_depths, L if k == 0 else L // (k + 1))
-        compact = bool(_shard_occ_step(self._shard_tree(0)) and d >= 1)
+        compact = bool(self._occ_step() and d >= 1)
         kind = "exact" if k == 0 else "inexact"
         mh, mc, lf, hf = self._caps(k, _level)
         Ct = (k + 1) * mc if k else mh
@@ -1567,7 +1595,14 @@ def dense_to_columns(pos, nm, valid):
 def tiered_to_columns(out, max_hits, max_cand, k, B):
     """Host decode of tiered_pipeline_packed output -> flat (row_idx,
     p, m) columns (single shard). Tier-2 rows are mapped from escalated
-    lane space back to real read-strand rows via esc_sel."""
+    lane space back to real read-strand rows via esc_sel.
+
+    Dedups on (row, pos) keeping min nm: for escalated reads, tier-1
+    incidental nm <= k hits can overlap tier-2's full pigeonhole set,
+    and a duplicated best hit would make n_best = 2 -> MAPQ 0 in
+    select_primary_flat (ADVICE r4) — the dedup is what makes the
+    'MAPQ identical to full enumeration' contract hold for every
+    consumer, not just ones that dedup downstream."""
     (cand1, nm1, sel1, cnt1, cand2, nm2, sel2, cnt2,
      esc_sel, esc_cnt, ov_rows, comp_over) = [np.asarray(o) for o in out]
     c1 = int(cnt1)
@@ -1583,10 +1618,15 @@ def tiered_to_columns(out, max_hits, max_cand, k, B):
     real2 = np.where(fwd, esc_sel[r2e % esc_cap],
                      B + esc_sel[(r2e - esc_cap) % esc_cap])
     p2, m2 = cand2[:c2][keep2], nm2[:c2][keep2]
+    rows = np.concatenate([rows1, real2])
+    p = np.concatenate([p1, p2])
+    m = np.concatenate([m1, m2])
+    order = np.lexsort((m, p, rows))
+    rows, p, m = rows[order], p[order], m[order]
+    first = np.ones(len(rows), dtype=bool)
+    first[1:] = (rows[1:] != rows[:-1]) | (p[1:] != p[:-1])
     return (
-        np.concatenate([rows1, real2]),
-        np.concatenate([p1, p2]),
-        np.concatenate([m1, m2]),
+        rows[first], p[first], m[first],
         int((ov_rows > 0).sum()),
         int(comp_over),
     )

@@ -170,6 +170,11 @@ def run(args):
         # reorder buffer: rounds are length-bucketed, output is emitted
         # in INPUT order (deterministic resume/merge, SURVEY.md §5.3)
         results: dict = {}
+        # reads still capacity-truncated after the final heal level get
+        # the same xo:i:1 mark the single-chip block path emits
+        # (ADVICE r4: the dist path was log-only)
+        trunc1: set = set()
+        trunc2: set = set()
         next_emit = 0
 
         def flush():
@@ -187,6 +192,10 @@ def run(args):
                     [r[0] for r in recs], [r[1] for r in recs],
                     manifest.contigs, out, min_insert=args.min_insert,
                     max_insert=args.max_insert, header=False,
+                    tags1=["xo:i:1" if i in trunc1 else None
+                           for i in run_idx],
+                    tags2=["xo:i:1" if i in trunc2 else None
+                           for i in run_idx],
                 )
                 total += 2 * len(run_idx)
             else:
@@ -194,6 +203,8 @@ def run(args):
                     [reads[i] for i in run_idx],
                     [results.pop(i) for i in run_idx],
                     manifest.contigs, out, header=False,
+                    tags_per_read=["xo:i:1" if i in trunc1 else None
+                                   for i in run_idx],
                 )
                 total += len(run_idx)
 
@@ -208,17 +219,32 @@ def run(args):
             idxs = rec[0]
             if not paired:
                 hits = eng.finish_batch(rec[1])
+                tr = eng.last_truncated
                 for j, i in enumerate(idxs):
                     results[i] = hits[j]
+                    if tr is not None and tr[j]:
+                        trunc1.add(i)
             elif len(rec) == 2:  # mates stacked in ONE ring program
                 hits = eng.finish_batch(rec[1])
+                tr = eng.last_truncated
                 for j, i in enumerate(idxs):
                     results[i] = (hits[j], hits[bs + j])
+                    if tr is not None:
+                        if tr[j]:
+                            trunc1.add(i)
+                        if tr[bs + j]:
+                            trunc2.add(i)
             else:  # mixed-length pair: one program per mate length
                 hits1 = eng.finish_batch(rec[1])
+                tr1 = eng.last_truncated
                 hits2 = eng.finish_batch(rec[2])
+                tr2 = eng.last_truncated
                 for j, i in enumerate(idxs):
                     results[i] = (hits1[j], hits2[j])
+                    if tr1 is not None and tr1[j]:
+                        trunc1.add(i)
+                    if tr2 is not None and tr2[j]:
+                        trunc2.add(i)
             flush()
 
         for key, n_rounds in schedule:

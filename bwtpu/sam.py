@@ -103,6 +103,8 @@ def pair_and_emit_sam(
     min_insert: int = 0,
     max_insert: int = 1000,
     header: bool = True,
+    tags1: list[str | None] | None = None,
+    tags2: list[str | None] | None = None,
 ):
     """Paired-end pairing + emission (config 5, SURVEY.md §3.5).
 
@@ -112,10 +114,15 @@ def pair_and_emit_sam(
     proper pairs pick the one minimizing nm1 + nm2, ties broken by
     (leftmost '+' position, then leftmost mate position). If no proper
     pair exists, each mate falls back to its independent primary hit.
+
+    tags1/tags2: optional extra SAM tag per pair for mate 1 / mate 2
+    (e.g. "xo:i:1" truncation marks from the distributed engine).
     """
     if header:
         out.write(sam_header(contigs))
-    for (r1, r2), h1s, h2s in zip(pairs, hits1, hits2):
+    for pi, ((r1, r2), h1s, h2s) in enumerate(zip(pairs, hits1, hits2)):
+        t1 = tags1[pi] if tags1 else None
+        t2 = tags2[pi] if tags2 else None
         best = None  # (score_tuple, hit1, hit2, tlen)
         for h1 in h1s:
             for h2 in h2s:
@@ -148,8 +155,10 @@ def pair_and_emit_sam(
             rn2, pn2 = ("=", p1[1] + 1) if (p1 and p2 and p1[0] == p2[0]) else (
                 (p1[0], p1[1] + 1) if p1 else ("*", 0)
             )
-            out.write(_record(r1, h1, 37, contigs, f1, rn1, pn1, tlen1) + "\n")
-            out.write(_record(r2, h2, 37, contigs, f2, rn2, pn2, -tlen1) + "\n")
+            out.write(_record(r1, h1, 37, contigs, f1, rn1, pn1, tlen1,
+                              tag=t1) + "\n")
+            out.write(_record(r2, h2, 37, contigs, f2, rn2, pn2, -tlen1,
+                              tag=t2) + "\n")
         else:
             prim1, mq1 = select_primary(h1s)
             prim2, mq2 = select_primary(h2s)
@@ -159,5 +168,5 @@ def pair_and_emit_sam(
                 f1 |= FLAG_MATE_REVERSE
             if prim1 is not None and prim1.strand == "-":
                 f2 |= FLAG_MATE_REVERSE
-            out.write(_record(r1, prim1, mq1, contigs, f1) + "\n")
-            out.write(_record(r2, prim2, mq2, contigs, f2) + "\n")
+            out.write(_record(r1, prim1, mq1, contigs, f1, tag=t1) + "\n")
+            out.write(_record(r2, prim2, mq2, contigs, f2, tag=t2) + "\n")

@@ -157,8 +157,17 @@ def test_heal_compact_ring_binding_caps(n_shard, n_data):
     eng_off = DistEngine(shards_off, manifest, n_data=n_data)
     h = eng_off.dispatch_batch(reads, k=0)
     assert h[0] == "packed_compact"
-    _, n_over, co = eng_off._finish_packed_compact(h)
+    _, n_over, co, trunc = eng_off._finish_packed_compact(h)
     assert n_over + co > 0, "caps were meant to bind (test misconfigured)"
+    # the per-read truncation channel (ADVICE r4: dist path was
+    # log-only) must flag the overflowed reads when healing is off
+    assert trunc.shape == (n_reads,)
+    if n_over:
+        assert trunc.any()
+    hits_off = eng_off.finish_batch(eng_off.dispatch_batch(reads, k=0))
+    assert eng_off.last_truncated is not None
+    assert eng_off.last_truncated.any()
+    del hits_off
 
     # healed: golden-exact on a sample (full golden compare on 2048
     # repeat reads is minutes of pure Python; 64 sampled reads cover
