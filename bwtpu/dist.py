@@ -475,6 +475,7 @@ class DistEngine:
         # the single-chip block path marks xo:i:1) — consumers
         # (bwtpu.multihost) read it right after finish_batch
         self.last_truncated: np.ndarray | None = None
+        self.heals = 0  # self-healing ring re-dispatches (doubled caps)
 
     @property
     def n_lanes(self) -> int:
@@ -817,6 +818,7 @@ class DistEngine:
             # results are a superset, so they replace the originals.
             # Every process re-dispatches (agreement above), keeping the
             # collective program sequence identical pod-wide.
+            self.heals += 1
             log.info(
                 "dist align: %d overflowed rows / %d compaction drops — "
                 "healing with 2^%d x caps", n_over, co, level + 1,
