@@ -320,17 +320,18 @@ def main():
     timings["encode_upload_s"] = round(time.time() - t0, 1)
 
     # --- exact (config 1) ---
-    # min_trips=1 + loc_factor=0.5: one guaranteed multi-step trip
+    # min_trips=1 + loc_factor=0.45: one guaranteed multi-step trip
     # divides false candidates 4^3-fold, leaving measured occupancy
-    # 0.45*B2 live candidates — 90% of a 0.5*B2 cap with ZERO overflow
-    # (round-4 sweep, scripts/sweep_locate.py: lf 0.75 -> 0.5 moved
-    # 5.17 -> 6.38 M reads/s because compacted stages pay their CAP in
-    # gather rows; lf 0.45 sits at 100% occupancy and 0.4 overflows —
-    # DESIGN.md "locate/cap sweep, round 4"). Production runs are
-    # protected by self-healing re-dispatch (engine._caps); the bench
-    # asserts zero overflow so the measured rate is loss-free.
+    # 0.45*B2 live candidates. Round 4 shipped 0.5 for safety margin
+    # (the sweep measured 0.45 = 6.98 M at 100% occupancy, 0.4 LOSSY —
+    # DESIGN.md "locate/cap sweep"); round 5 runs the caps occupancy-
+    # sized at 0.45 (VERDICT r4 item 3) because self-healing re-dispatch
+    # is the backstop that makes zero-margin caps safe — the bench still
+    # reports exact_overflow so a loss would be visible, and the e2e
+    # engines below pick their caps by measured occupancy automatically
+    # (Engine.autotune_caps).
     mt = 1
-    exact_lf = 0.5
+    exact_lf = 0.45
     d = pick_kmer_depth(depths, L)
     fx = jax.jit(functools.partial(
         exact_pipeline_packed, L=L, d=d, max_hits=cfg.max_hits,
@@ -496,15 +497,24 @@ def main():
                 f2.write(f"@{r2.rid}.{i}\n{r2.seq}\n+\n{'I' * L}\n")
     timings["e2e_setup_s"] = round(time.time() - t0, 1)
 
-    def e2e_single(k, lf):
+    def e2e_single(k, lf_ceiling):
         """FASTQ -> SAM the way cli.py align runs it: chunk-prefetched
         columnar parse, packed dispatch (pipelined), one-round-trip hit
-        fetch, vectorized primary, C SAM formatter."""
+        fetch, vectorized primary, C SAM formatter.
+
+        Capacities are OCCUPANCY-ADAPTIVE (VERDICT r4 item 3): the
+        engine starts at a generic lf_ceiling, autotune_caps observes
+        the candidate-stage live fraction on the warm batch and
+        tightens loc_factor to the ladder value just above it; healing
+        absorbs any batch that beats the thin margin."""
         eng = Engine([_dc.replace(idx, config=cfg.replace(
-            loc_factor=lf, k=k, min_trips=1, hit_factor=0.5))])
+            loc_factor=lf_ceiling, k=k, min_trips=1, hit_factor=0.5))])
         warm = read_fastq_block(fq_path)
-        eng.finish_block(eng.dispatch_block(warm.slice(0, Bc), k, pad_to=Bc))
-        del warm
+        wslice = warm.slice(0, Bc)
+        eng.autotune_caps(wslice, k, pad_to=Bc)
+        # warm the tuned program so the timed loop never compiles
+        eng.finish_block(eng.dispatch_block(wslice, k, pad_to=Bc))
+        del warm, wslice
         ex = ThreadPoolExecutor(max_workers=1)
 
         def process(h):
@@ -538,19 +548,22 @@ def main():
         over = eng.stats.overflow_reads + eng.stats.compact_overflows
         mb = _os.path.getsize(sam_path) / 1e6
         _os.remove(sam_path)
-        return n_reads / wall, wall, n_reads, mb, over, eng.stats.heals
+        return (n_reads / wall, wall, n_reads, mb, over, eng.stats.heals,
+                eng._lf(k))
 
-    def e2e_paired(k, lf):
+    def e2e_paired(k, lf_ceiling):
         """Paired FASTQ pair -> SAM (cli.py align --paired path): both
         mates stacked into ONE dispatch per round, vectorized pairing
-        (results.select_pairs), one interleaved C-formatter call."""
+        (results.select_pairs), one interleaved C-formatter call.
+        Capacities occupancy-adaptive like e2e_single."""
         eng = Engine([_dc.replace(idx, config=cfg.replace(
-            loc_factor=lf, k=k, min_trips=1, hit_factor=0.5))])
+            loc_factor=lf_ceiling, k=k, min_trips=1, hit_factor=0.5))])
         warm1 = read_fastq_block(fq1_path).slice(0, Bcp)
         warm2 = read_fastq_block(fq2_path).slice(0, Bcp)
-        eng.finish_block(eng.dispatch_block(
-            concat_blocks(warm1, warm2), k, pad_to=Bc))
-        del warm1, warm2
+        wblk = concat_blocks(warm1, warm2)
+        eng.autotune_caps(wblk, k, pad_to=Bc)
+        eng.finish_block(eng.dispatch_block(wblk, k, pad_to=Bc))
+        del warm1, warm2, wblk
         ex = ThreadPoolExecutor(max_workers=1)
 
         def process(sub1, sub2, h):
@@ -588,12 +601,15 @@ def main():
         over = eng.stats.overflow_reads + eng.stats.compact_overflows
         mb = _os.path.getsize(sam_path) / 1e6
         _os.remove(sam_path)
-        return n_reads / wall, wall, n_reads, mb, over, eng.stats.heals
+        return (n_reads / wall, wall, n_reads, mb, over, eng.stats.heals,
+                eng._lf(k))
 
-    e2e_rps, e2e_s, n_reads_e2e, sam_mb, e2e_over, e2e_heals = e2e_single(
-        0, exact_lf)
-    e2e_k2 = e2e_single(2, k2_lf)
-    e2e_pe = e2e_paired(2, k2_lf)
+    # generic ceilings (the config defaults a user would start from);
+    # autotune_caps tightens them from measured occupancy
+    (e2e_rps, e2e_s, n_reads_e2e, sam_mb, e2e_over, e2e_heals,
+     e2e_lf_tuned) = e2e_single(0, 2)
+    e2e_k2 = e2e_single(2, 4)
+    e2e_pe = e2e_paired(2, 4)
     for p in (fq_path, fq1_path, fq2_path):
         _os.remove(p)
     _os.rmdir(e2e_dir)
@@ -699,6 +715,8 @@ def main():
             "e2e_sam_mb": round(sam_mb, 1),
             "e2e_overflows": int(e2e_over),
             "e2e_heals": int(e2e_heals),
+            "e2e_exact_lf_autotuned": e2e_lf_tuned,
+            "e2e_k2_lf_autotuned": e2e_k2[6],
             "e2e_k2_reads_per_s": round(e2e_k2[0], 1),
             "e2e_k2_wall_s": round(e2e_k2[1], 2),
             "e2e_k2_reads": e2e_k2[2],

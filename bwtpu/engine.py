@@ -954,6 +954,12 @@ class Engine:
         # relay's fixed latency — round-1 weak #6).
         self.vmap_shards = vmap_shards
         self._compiled: dict = {}
+        # max observed candidate-stage live fraction (live rows / lane
+        # count) per k, fed by finish_block; autotune_caps reads it
+        self._cand_live_frac: dict = {}
+        # per-k loc_factor overrides set by autotune_caps (config's
+        # loc_factor stays the ceiling)
+        self._lf_override: dict = {}
 
     def _wide_steps(self, d: int) -> int:
         """Static two-gather 1-step narrowings to run before the
@@ -996,6 +1002,55 @@ class Engine:
         latk = sh[0].latk if isinstance(sh, list) else sh.latk
         return OCCK_STEP_FROM_WIDTH.get(latk.shape[-1], 0)
 
+    # quantized loc_factor ladder: adaptive tuning picks from here so a
+    # stream compiles at most a couple of cap variants, not one per
+    # occupancy wiggle
+    LF_LADDER = (0.25, 0.35, 0.45, 0.5, 0.6, 0.75, 1.0, 1.25, 1.5,
+                 2.0, 3.0, 4.0, 6.0)
+
+    def autotune_caps(self, block, k: int | None = None,
+                      margin: float = 1.12, pad_to: int | None = None):
+        """Occupancy-adaptive capacities (VERDICT r4 item 3): dispatch
+        `block` once at the CURRENT caps, observe the candidate-stage
+        live fraction (rides the one-round-trip hits fetch), and point
+        config.loc_factor at the smallest ladder value that covers
+        live * margin. Compacted stages pay their CAP in gather rows
+        (docs/DESIGN.md locate/cap sweep: lf 0.75 -> 0.5 was +23%
+        exact), so sizing the cap just above measured occupancy is the
+        single biggest knob — and self-healing re-dispatch (bounded,
+        supersets) absorbs the occasional batch that beats the margin,
+        which is exactly why the margin can be thin.
+
+        Returns the chosen loc_factor. Call once per stream (or per
+        read-profile change); each new value compiles one program
+        variant on first use."""
+        k = self.config.k if k is None else k
+        self._cand_live_frac.pop(k, None)
+        self.finish_block(self.dispatch_block(block, k, pad_to=pad_to))
+        live = self._cand_live_frac.get(k)
+        if live is None:  # dense fallback path: no occupancy channel
+            return self._lf(k)
+        target = live * margin
+        lf = next((v for v in self.LF_LADDER if v >= target),
+                  self.config.loc_factor)
+        # never tune ABOVE the configured factor: the configured value
+        # is the safety ceiling, healing covers upward excursions. The
+        # override is PER k — exact and k2 candidate densities differ
+        # ~3x, a shared factor would starve one or bloat the other.
+        lf = min(lf, self.config.loc_factor)
+        if lf != self._lf(k):
+            log.info(
+                "autotune_caps: k=%d live frac %.3f -> loc_factor %s "
+                "(was %s)", k, live, lf, self._lf(k),
+            )
+        self._lf_override[k] = lf
+        return lf
+
+    def _lf(self, k: int) -> float:
+        """Effective base loc_factor for this k (autotune override or
+        the configured ceiling)."""
+        return self._lf_override.get(k, self.config.loc_factor)
+
     def _caps(self, k: int, level: int):
         """Capacity set at heal level `level` (self-healing overflow,
         VERDICT r3 item 3): every capacity doubles per level, so a batch
@@ -1010,7 +1065,7 @@ class Engine:
         mc = cfg.max_cand * f
         max_loc = mc if k else mh
         nS = k + 1
-        lf = min(cfg.loc_factor * f, nS * max_loc)
+        lf = min(self._lf(k) * f, nS * max_loc)
         hf = cfg.hit_factor if level == 0 else lf
         return mh, mc, lf, hf
 
@@ -1210,9 +1265,12 @@ class Engine:
                         << jnp.arange(32, dtype=jnp.uint32)[None, :],
                         axis=1,
                     ).astype(jnp.int32)
-                    # entries >= cnt2 are garbage; the host slices first
+                    # entries >= cnt2 are garbage; the host slices first.
+                    # count (candidate-stage live rows) rides along so
+                    # the host can observe occupancy for adaptive caps
+                    # (autotune_caps) without an extra round trip
                     return (out2[:, 0], out2[:, 1], cnt2,
-                            (overflow > 0).sum(), co, hover, ovbm)
+                            (overflow > 0).sum(), co, hover, ovbm, count)
 
             if vmapped:
                 fn = jax.vmap(fn, in_axes=(0, None, None))
@@ -1379,29 +1437,35 @@ class Engine:
             n_over = 0
             compact_over = 0
             hit_over = 0
+            cand_live = 0
             if isinstance(shard_outs, tuple) and shard_outs[0] == "stacked":
-                hc_s, hm_s, cnt_s, ov_s, co_s, ho_s, bm_s = jax.device_get(
-                    shard_outs[1]
+                hc_s, hm_s, cnt_s, ov_s, co_s, ho_s, bm_s, cc_s = (
+                    jax.device_get(shard_outs[1])
                 )
                 per_shard = [
                     (hc_s[s], hm_s[s], int(cnt_s[s]), int(ov_s[s]),
-                     int(co_s[s]), int(ho_s[s]), bm_s[s])
+                     int(co_s[s]), int(ho_s[s]), bm_s[s], int(cc_s[s]))
                     for s in range(hc_s.shape[0])
                 ]
             else:
                 per_shard = []
                 for o in shard_outs:
-                    hc, hm, cnt, ov, co, ho, bm = jax.device_get(o)
+                    hc, hm, cnt, ov, co, ho, bm, cc = jax.device_get(o)
                     per_shard.append((hc, hm, int(cnt), int(ov), int(co),
-                                      int(ho), bm))
+                                      int(ho), bm, int(cc)))
             bm_or = None
-            for hc, hm, cnt, ov, co, ho, bm in per_shard:
+            for hc, hm, cnt, ov, co, ho, bm, cc in per_shard:
                 hm = hm[:cnt]
                 shard_comp.append((hc[:cnt], hm % 4, hm // 4, cnt))
                 n_over += ov
                 compact_over += co
                 hit_over += ho
+                cand_live = max(cand_live, cc)
                 bm_or = bm if bm_or is None else (bm_or | bm)
+            # candidate-stage live rows per lane, for adaptive caps
+            self._cand_live_frac[k] = max(
+                self._cand_live_frac.get(k, 0.0), cand_live / (2 * Bp)
+            )
             self.stats.device_s += time.perf_counter() - t_disp
             if (n_over or compact_over or hit_over) and can_heal:
                 return self._heal_block(block, k, Bp, level, n_over,
@@ -1429,6 +1493,9 @@ class Engine:
             for o in shard_outs:
                 cand_c, nm_c, sel, count, overflow, co = o
                 cnt = int(np.asarray(count))
+                self._cand_live_frac[k] = max(
+                    self._cand_live_frac.get(k, 0.0), cnt / (2 * Bp)
+                )
                 # one grouped transfer (each np.asarray is a separate
                 # relay round trip; the relay adds ~17 ms per sync)
                 cand_np, nm_np, sel_np, ovr, co_ = jax.device_get(

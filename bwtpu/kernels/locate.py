@@ -48,6 +48,15 @@ def locate_rows(
         r, done, rank_out, steps_out = state
         j = r >> common.LOG2_BLOCK
         m = r & (common.BLOCK - 1)
+        # done lanes gather block 0: their values are dead (rank/steps
+        # already latched) but the masked fixed-trip loop still issues
+        # their gathers, and a RANDOM dead row costs the full
+        # cache-hostile rate (7 -> 35 ns/row by table size, DESIGN.md)
+        # while a constant hot row is cache-resident. Expected live
+        # fraction at trip t is (1 - t/s), so this halves the walk's
+        # random-row traffic — the "per-trip compaction" win without a
+        # per-trip compaction (round 5, human-scale locate rebuild).
+        j = jnp.where(done, 0, j)
         rec = jnp.take(lattice, j, axis=0)  # (B, 16)
         if backend == "pallas":
             from bwtpu.kernels.pallas_step import locate_step_pallas

@@ -251,7 +251,9 @@ def search_early_stop_uniform(
             tS = jax.lax.dynamic_slice_in_dim(t_all, g, 1, axis=1)[:, 0]
             aS = jax.lax.dynamic_slice_in_dim(a_all, g, 1, axis=1)[:, 0]
             active = ~stopped & ~strag
-            rec = jnp.take(latk, sp // R, axis=0)
+            # inactive lanes gather record 0 (cache-hot) — see the
+            # packed variant below for the rationale
+            rec = jnp.take(latk, jnp.where(active, sp // R, 0), axis=0)
             sp_n, ep_n, sK = occk_pair_from_record(
                 rec, tS, sp, ep, latk_inv, A, R
             )
@@ -406,7 +408,13 @@ def search_early_stop_packed(
             tS = jax.lax.dynamic_slice_in_dim(t_all, g, 1, axis=1)[:, 0]
             aS = jax.lax.dynamic_slice_in_dim(a_all, g, 1, axis=1)[:, 0]
             active = ~stopped & ~strag
-            rec = jnp.take(latk, sp // R, axis=0)
+            # inactive lanes gather record 0 (cache-hot) instead of
+            # their stale random row — the loop runs while the live
+            # pool exceeds the finisher cap, so at large scales most
+            # lanes are stopped for most trips and their dead gathers
+            # were paying the full cache-hostile rate (DESIGN.md
+            # "gather cost vs table size"; round-5 locate rebuild)
+            rec = jnp.take(latk, jnp.where(active, sp // R, 0), axis=0)
             sp_n, ep_n, sK = occk_pair_from_record(
                 rec, tS, sp, ep, latk_inv, A, R
             )

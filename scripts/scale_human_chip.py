@@ -40,6 +40,12 @@ def main():
     ap.add_argument("--genome-seed", type=int, default=5,
                     help="seed scale_human.py used (truth simulation "
                          "regenerates the genome)")
+    ap.add_argument("--skip-truth", action="store_true",
+                    help="rate-only iteration: skip the 2.5 Gbp genome "
+                         "regen + truth recovery (run the full check "
+                         "before recording final numbers)")
+    ap.add_argument("--exact-lf", type=float, default=1.0)
+    ap.add_argument("--k2-lf", type=float, default=6.0)
     args = ap.parse_args()
 
     import jax
@@ -88,7 +94,7 @@ def main():
         return Engine(sh, manifest, vmap_shards=False)
 
     t0 = time.time()
-    eng = engine_with(1.0)
+    eng = engine_with(args.exact_lf)
     hbm = sum(
         int(np.prod(x.shape)) * 4
         for x in jax.tree.leaves(eng.dev.shard)
@@ -138,39 +144,41 @@ def main():
     out["exact_measure_s"] = round(time.time() - t0, 1)
     out["exact_heals"] = eng.stats.heals
 
-    # ---- truth recovery on >= 8 K reads (global positions, int64) ----
-    t0 = time.time()
-    # shards overlap (build_sharded_index overlap), so the original
-    # genome length is the manifest's, not sum(text_len)
-    bp = int(manifest.total_len) if manifest else 2_500_000_000
-    genome = random_genome(bp, seed=args.genome_seed)
-    out["genome_regen_s"] = round(time.time() - t0, 1)
-    reads, truth = simulate_reads(genome, args.n_truth, read_len=100,
-                                  max_mismatches=2, seed=6)
-    del genome
+    if not args.skip_truth:
+        # ---- truth recovery on >= 8 K reads (global positions, int64) ----
+        t0 = time.time()
+        # shards overlap (build_sharded_index overlap), so the original
+        # genome length is the manifest's, not sum(text_len)
+        bp = int(manifest.total_len) if manifest else 2_500_000_000
+        genome = random_genome(bp, seed=args.genome_seed)
+        out["genome_regen_s"] = round(time.time() - t0, 1)
+        reads, truth = simulate_reads(genome, args.n_truth, read_len=100,
+                                      max_mismatches=2, seed=6)
+        del genome
 
-    # truth + k2 rate run on the k2-cap engine (exact engine freed
+    # k2 rate (and truth) run on the k2-cap engine (exact engine freed
     # first: two resident indexes would not fit HBM)
     del eng
     gc.collect()
-    eng = engine_with(6)
-    blk = ReadBlock.from_reads(reads)
-    flat = eng.finish_block(eng.dispatch_block(blk, 2, pad_to=blk.n))
-    lists = hit_lists(flat)
-    rec = sum(
-        any(h.pos == t["pos"] and h.strand == t["strand"]
-            and h.nm == t["nm"] for h in hs)
-        for t, hs in zip(truth, lists)
-    )
-    beyond = [i for i, t in enumerate(truth) if t["pos"] > 2**31]
-    rec_beyond = sum(
-        any(h.pos == truth[i]["pos"] and h.strand == truth[i]["strand"]
-            for h in lists[i]) for i in beyond
-    )
-    out["truth_reads"] = args.n_truth
-    out["truth_recovered"] = int(rec)
-    out["truth_beyond_int32"] = len(beyond)
-    out["recovered_beyond_int32"] = int(rec_beyond)
+    eng = engine_with(args.k2_lf)
+    if not args.skip_truth:
+        blk = ReadBlock.from_reads(reads)
+        flat = eng.finish_block(eng.dispatch_block(blk, 2, pad_to=blk.n))
+        lists = hit_lists(flat)
+        rec = sum(
+            any(h.pos == t["pos"] and h.strand == t["strand"]
+                and h.nm == t["nm"] for h in hs)
+            for t, hs in zip(truth, lists)
+        )
+        beyond = [i for i, t in enumerate(truth) if t["pos"] > 2**31]
+        rec_beyond = sum(
+            any(h.pos == truth[i]["pos"] and h.strand == truth[i]["strand"]
+                for h in lists[i]) for i in beyond
+        )
+        out["truth_reads"] = args.n_truth
+        out["truth_recovered"] = int(rec)
+        out["truth_beyond_int32"] = len(beyond)
+        out["recovered_beyond_int32"] = int(rec_beyond)
 
     # ---- k2 rate ----
     t0 = time.time()
