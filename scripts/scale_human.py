@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--n-sample", type=int, default=64)
     ap.add_argument("--keep", action="store_true",
                     help="keep the on-disk index artifact")
+    ap.add_argument("--sa-rate", type=int, default=32,
+                    help="SA sampling rate (32 = 312 MB marks; 16 "
+                         "halves the bounded LF walk for +625 MB — the "
+                         "round-5 locate A/B)")
     args = ap.parse_args()
 
     os.environ.setdefault(
@@ -69,7 +73,8 @@ def main():
     # sa_rate=32 at this scale: full SA would be 4 B/base = 10 GB HBM
     # (vs ~23 GB total for everything else); rate-32 marks cost n/32*4
     # = 312 MB with a <= 32-step bounded LF walk (DESIGN.md "Locate").
-    cfg = EngineConfig(sa_rate=32, max_hits=4, max_cand=8, read_len=100)
+    cfg = EngineConfig(sa_rate=args.sa_rate, max_hits=4, max_cand=8,
+                       read_len=100)
     t0 = time.time()
     shards, manifest = build_sharded_index(
         genome, N_SHARDS, config=cfg, overlap=256, jobs=args.jobs

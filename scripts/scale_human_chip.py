@@ -85,8 +85,13 @@ def main():
     # but the measured rate then includes recompiles).
     cfg0 = shards[0].config
 
-    def engine_with(lf):
-        sh = [_dc.replace(s, config=cfg0.replace(loc_factor=lf))
+    def engine_with(lf, hf=1.0):
+        # hf: the k2 hit stream at this scale is duplicate-rich (3
+        # seeds x true loci), so hit_factor=1.0 overflows the hit
+        # buffer and every measured batch heals (round-5 finding:
+        # heals=5 during the k2 measure were hit-buffer overflows)
+        sh = [_dc.replace(s, config=cfg0.replace(loc_factor=lf,
+                                                 hit_factor=hf))
               for s in shards]
         # vmap_shards=False: the stacked-vmap program relayout-copies
         # the big tables and OOMs HBM at this scale (engine.Engine
@@ -103,10 +108,15 @@ def main():
     out["hbm_resident_gb"] = round(hbm / 1e9, 2)
 
     # ---- device rate helpers ----
-    def measure(k, B):
+    def measure(k, B, autotune=True):
         encs = [simulate_reads_fast(B, i) for i in range(2)]
-        # warm/compile
+        # warm/compile at the ceiling, then size the caps to measured
+        # occupancy (VERDICT r4 item 2/3: lf=6 was ~4x above the real
+        # k2 live fraction, and the locate walk pays the CAP in rows)
+        if autotune:
+            eng.autotune_caps(encs[0], k, pad_to=B)
         eng.finish_block(eng.dispatch_block(encs[0], k, pad_to=B))
+        h0 = eng.stats.heals
         best = 0.0
         for _ in range(2):
             t0 = time.time()
@@ -114,6 +124,8 @@ def main():
             for h in hs:
                 eng.finish_block(h)
             best = max(best, 2 * B / (time.time() - t0))
+        out[f"k{k}_lf_tuned"] = eng._lf(k)
+        out[f"k{k}_heals_timed"] = eng.stats.heals - h0
         return best
 
     # read simulation over a 2.5 GB string is slow; sample windows from
@@ -160,7 +172,7 @@ def main():
     # first: two resident indexes would not fit HBM)
     del eng
     gc.collect()
-    eng = engine_with(args.k2_lf)
+    eng = engine_with(args.k2_lf, hf=3.0)
     if not args.skip_truth:
         blk = ReadBlock.from_reads(reads)
         flat = eng.finish_block(eng.dispatch_block(blk, 2, pad_to=blk.n))

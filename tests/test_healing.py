@@ -144,7 +144,10 @@ def test_heal_compact_ring_binding_caps(n_shard, n_data):
     eng = DistEngine(shards, manifest, n_data=n_data)
 
     rng = np.random.default_rng(11)
-    n_reads = 2048
+    # 768 keeps the interval caps binding (the tandem arrays overflow
+    # max_hits regardless of read count) at ~1/3 the ring decode cost
+    # (VERDICT r4 item 8: default tier over budget)
+    n_reads = 768
     starts = rng.integers(0, len(genome) - L + 1, size=n_reads)
     reads = [Read(f"r{i}", genome[s : s + L]) for i, s in enumerate(starts)]
 
