@@ -957,9 +957,12 @@ class Engine:
         # max observed candidate-stage live fraction (live rows / lane
         # count) per k, fed by finish_block; autotune_caps reads it
         self._cand_live_frac: dict = {}
-        # per-k loc_factor overrides set by autotune_caps (config's
-        # loc_factor stays the ceiling)
+        # per-k loc_factor / hit_factor overrides set by autotune_caps
+        # (config values stay the ceilings)
         self._lf_override: dict = {}
+        self._hf_override: dict = {}
+        # max observed live hit fraction per k (hits-mode cnt / lanes)
+        self._hit_live_frac: dict = {}
 
     def _wide_steps(self, d: int) -> int:
         """Static two-gather 1-step narrowings to run before the
@@ -1026,7 +1029,15 @@ class Engine:
         variant on first use."""
         k = self.config.k if k is None else k
         self._cand_live_frac.pop(k, None)
+        self._hit_live_frac.pop(k, None)
+        ov0 = self.stats.overflow_reads + self.stats.compact_overflows
         self.finish_block(self.dispatch_block(block, k, pad_to=pad_to))
+        if self.stats.overflow_reads + self.stats.compact_overflows > ov0:
+            # the probe itself hit a cap even after healing: observed
+            # live fractions are understated — do not tighten from them
+            log.warning("autotune_caps: probe batch overflowed; keeping "
+                        "configured ceilings for k=%d", k)
+            return self._lf(k)
         live = self._cand_live_frac.get(k)
         if live is None:  # dense fallback path: no occupancy channel
             return self._lf(k)
@@ -1044,12 +1055,25 @@ class Engine:
                 "(was %s)", k, live, lf, self._lf(k),
             )
         self._lf_override[k] = lf
+        # hit buffer: the hits-mode finish transfers the FULL static
+        # buffer (hit_cap x 8 B) over the ~27 MB/s relay D2H path, so
+        # an oversized hit_factor is pure transfer waste — size it to
+        # the observed live hit fraction the same way
+        hlive = self._hit_live_frac.get(k)
+        if hlive is not None:
+            hf = next((v for v in self.LF_LADDER if v >= hlive * margin),
+                      self.config.hit_factor)
+            self._hf_override[k] = min(hf, self.config.hit_factor)
         return lf
 
     def _lf(self, k: int) -> float:
         """Effective base loc_factor for this k (autotune override or
         the configured ceiling)."""
         return self._lf_override.get(k, self.config.loc_factor)
+
+    def _hf(self, k: int) -> float:
+        """Effective base hit_factor for this k."""
+        return self._hf_override.get(k, self.config.hit_factor)
 
     def _caps(self, k: int, level: int):
         """Capacity set at heal level `level` (self-healing overflow,
@@ -1066,7 +1090,7 @@ class Engine:
         max_loc = mc if k else mh
         nS = k + 1
         lf = min(self._lf(k) * f, nS * max_loc)
-        hf = cfg.hit_factor if level == 0 else lf
+        hf = self._hf(k) if level == 0 else lf
         return mh, mc, lf, hf
 
     def _exact_fn(self, d: int, level: int = 0):
@@ -1454,6 +1478,7 @@ class Engine:
                     per_shard.append((hc, hm, int(cnt), int(ov), int(co),
                                       int(ho), bm, int(cc)))
             bm_or = None
+            hit_live = 0
             for hc, hm, cnt, ov, co, ho, bm, cc in per_shard:
                 hm = hm[:cnt]
                 shard_comp.append((hc[:cnt], hm % 4, hm // 4, cnt))
@@ -1461,10 +1486,14 @@ class Engine:
                 compact_over += co
                 hit_over += ho
                 cand_live = max(cand_live, cc)
+                hit_live = max(hit_live, cnt)
                 bm_or = bm if bm_or is None else (bm_or | bm)
-            # candidate-stage live rows per lane, for adaptive caps
+            # candidate/hit-stage live rows per lane, for adaptive caps
             self._cand_live_frac[k] = max(
                 self._cand_live_frac.get(k, 0.0), cand_live / (2 * Bp)
+            )
+            self._hit_live_frac[k] = max(
+                self._hit_live_frac.get(k, 0.0), hit_live / (2 * Bp)
             )
             self.stats.device_s += time.perf_counter() - t_disp
             if (n_over or compact_over or hit_over) and can_heal:
