@@ -303,6 +303,25 @@ def cmd_align(args):
     k = args.k if args.k is not None else shards[0].config.k
     bs = args.batch_size
 
+    if args.autotune_caps:
+        # occupancy-adaptive capacities (Engine.autotune_caps): probe
+        # the first chunk at the configured ceilings, then size
+        # loc_factor/hit_factor to the observed live fractions —
+        # healing absorbs batches that beat the thin margin
+        try:
+            from bwtpu.readblock import read_fastq_stream
+
+            res0 = read_fastq_stream(args.reads, bs)
+            sample = next(res0[2], None) if res0 else None
+            if sample is not None and 0 < sample.L <= engine.config.read_len:
+                lf = engine.autotune_caps(sample, k, pad_to=bs)
+                print(json.dumps({
+                    "event": "autotune", "loc_factor": lf,
+                    "hit_factor": engine._hf(k),
+                }), file=sys.stderr)
+        except Exception as e:  # tuning is an optimization, never fatal
+            log.warning("autotune-caps skipped: %s", e)
+
     profile_ctx = None
     if args.profile:
         import jax
@@ -584,6 +603,10 @@ def main(argv=None):
     a.add_argument("--batch-size", type=int, default=16384)
     a.add_argument("--min-insert", type=int, default=0)
     a.add_argument("--max-insert", type=int, default=1000)
+    a.add_argument("--autotune-caps", action="store_true",
+                   help="probe the first chunk and size the candidate/"
+                        "hit capacities to measured occupancy (healing "
+                        "backstops the thin margin)")
     a.add_argument("--resume", action="store_true",
                    help="resume from <out>.cursor after an interrupted run")
     a.add_argument("--rescore", action="store_true",
