@@ -136,7 +136,11 @@ def main():
         "peak_rss_gb_final": rss_gb(),
     }), flush=True)
     assert recovered == args.n_sample, (recovered, args.n_sample)
-    assert beyond_int32 > 0 and rec_beyond == beyond_int32
+    # a small --n-sample may legitimately draw zero reads past 2^31
+    # (P ~ 0.14 per read at 2.5 Gbp); only assert recovery on the ones
+    # actually drawn — the int64 math itself is pinned by
+    # tests/test_scale_int32.py and the 8192-read chip runs
+    assert rec_beyond == beyond_int32, (rec_beyond, beyond_int32)
 
     if not args.keep:
         import shutil
