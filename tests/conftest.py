@@ -26,6 +26,15 @@ if not os.environ.get("BWTPU_TEST_TPU"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: the default tier is jit-compile
+    # dominated (ring/engine program variants), and the programs are
+    # identical run-to-run — cache them on disk so repeat runs (and
+    # the two xdist workers, which share the dir) skip recompilation
+    # (VERDICT r4 item 8: tier budget). Keyed by HLO; a code change
+    # just misses and recompiles.
+    _cache = os.path.join(os.path.dirname(__file__), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -89,7 +89,10 @@ def test_phix_golden_sam_fixture():
 @pytest.mark.parametrize("kind", ["tandem", "homopolymer", "palindrome"])
 @pytest.mark.parametrize("k", [0, 2])
 def test_adversarial_parity(kind, k):
-    genome = adversarial_genome(20000, kind, seed=7)
+    # 12 kbp keeps dozens of tandem/homopolymer blocks (the adversarial
+    # structure the test exists for) at ~half the golden-DFS cost
+    # (VERDICT r4 item 8: default-tier budget)
+    genome = adversarial_genome(12000, kind, seed=7)
     L = 40
     cfg = EngineConfig(sa_rate=4, max_hits=32, max_cand=32, read_len=L,
                        loc_factor=8)

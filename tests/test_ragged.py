@@ -40,6 +40,7 @@ def world(tmp_path_factory):
     return tmp, str(idx_dir), str(fq), reads, idx
 
 
+@pytest.mark.xdist_group("ragged")
 def test_ragged_cli_byte_equal_to_object_path(world, monkeypatch, capsys):
     tmp, idx_dir, fq, reads, idx = world
     used = {"ragged": 0}
@@ -71,6 +72,7 @@ def test_ragged_cli_byte_equal_to_object_path(world, monkeypatch, capsys):
     assert got.decode() == buf.getvalue()
 
 
+@pytest.mark.xdist_group("ragged")
 def test_ragged_cursor_written(world):
     """The byte-equal test above already ran cli once; its cursor must
     record every chunk (resume semantics shared with the uniform path,
