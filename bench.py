@@ -297,11 +297,13 @@ def main():
     # (~17 ms measured): 32 K reads/batch -> 731 K reads/s, 262 K ->
     # 1.10 M on the same pipeline (docs/DESIGN.md). Round-3 A/B
     # (scripts/ab_batch.py): exact peaks at 524 K (5.50 vs 3.78 M
-    # reads/s at 262 K; 1 M regresses to 5.0), while k=2 — whose 3-seed
-    # working set is 3x wider — peaks at 262 K (2.09 vs 1.73 M at
-    # 524 K), so the two pipelines use different batch sizes.
+    # reads/s at 262 K; 1 M regresses to 5.0). k=2 — whose 3-seed
+    # working set is 3x wider — has an eviction cliff between 459 K
+    # and 524 K; the round-5 fine sweep measured monotonic gains up to
+    # its edge (2.38 / 2.50 / 2.52 / 2.66 M at 262/328/393/459 K, then
+    # 2.02 at 524 K), so k2 runs at 458752.
     B = args.batch or (1024 if args.smoke else 524288)
-    B_k2 = min(B, 262144)
+    B_k2 = min(B, 458752)
     t0 = time.time()
     n_batches = args.nbatches
     encs = []
