@@ -935,12 +935,24 @@ class Engine:
         backend: str | None = None,
         device=None,
         vmap_shards: bool = True,
+        fuse_shards: bool | None = None,
     ):
         self.shards = shards
         self.manifest = manifest
         self.config = shards[0].config
         self.backend = backend or default_backend()
         self.dev = upload_index(shards, device=device, stacked=vmap_shards)
+        self._device = device
+        # fuse_shards (list mode only): trace ALL per-shard programs
+        # into ONE jitted function (tuple of shard trees as arguments —
+        # no stacked copy, so none of the vmap relayout OOM), so an
+        # S-shard block costs ONE dispatch + ONE fetch instead of S
+        # round trips through the relay (~17 ms fixed latency each —
+        # DESIGN.md "human-scale locate rebuild" measured-ceiling note).
+        self.fuse_shards = (
+            (not vmap_shards and len(shards) > 1)
+            if fuse_shards is None else fuse_shards
+        )
         self.kmer_depths = sorted(shards[0].kmer_tables)
         self.stats = BatchStats()
         # vmap_shards=False: dispatch one program per shard instead of
@@ -1166,6 +1178,9 @@ class Engine:
             compact = bool(self._occ_step() and d >= 1)
             kind = "exact" if k == 0 else "inexact"
             fn = self._packed_fn(kind, k, d, L, compact, level=_level)
+            if S > 1 and not self.vmap_shards:
+                rw = jax.device_put(rw, self._device)  # ONE H2D, not S
+                ab = jax.device_put(ab, self._device)
             for s in range(S):
                 shard_outs.append(fn(self._shard_tree(s), rw, ab))
             mode = "compact" if compact else "dense"
@@ -1196,11 +1211,17 @@ class Engine:
 
     def _packed_fn(self, kind: str, k: int, d: int, L: int, compact: bool,
                    hits_output: bool = False, vmapped: bool = False,
-                   level: int = 0):
+                   level: int = 0, n_list: int = 0):
+        """n_list > 0: return a fused-list function over n_list per-shard
+        trees — `lfn((tree_0..tree_{S-1}), rw, ab) -> (out_0..out_{S-1})`
+        traced as ONE program (one dispatch, one fetch). The trees are
+        separate arguments, so unlike the stacked vmap form no relayout
+        copy of the big tables is materialized (the human-scale OOM —
+        Engine vmap_shards docstring)."""
         mh, mc, lf, hf = self._caps(k if kind != "exact" else 0, level)
         key = (
             "packed", kind, k, d, L, compact, hits_output, vmapped,
-            mh, mc, lf, hf,
+            mh, mc, lf, hf, n_list,
         )
         if key not in self._compiled:
             cfg, backend = self.config, self.backend
@@ -1298,6 +1319,12 @@ class Engine:
 
             if vmapped:
                 fn = jax.vmap(fn, in_axes=(0, None, None))
+            if n_list:
+                fn_one = fn
+
+                def fn(shard_trees, rw, ab):
+                    return tuple(fn_one(t, rw, ab) for t in shard_trees)
+
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key]
 
@@ -1412,6 +1439,23 @@ class Engine:
         Ct = (k + 1) * mc if k else mh
         # hits mode packs (sel, nm) into one int32: sel*4 + nm
         hits = compact and 2 * Bp * Ct * 4 < 2**31
+        if self.dev.n_shards > 1 and not self.vmap_shards:
+            # ONE H2D of the packed reads: numpy args re-transfer on
+            # every jitted call, so the per-shard dispatch loop was
+            # shipping the same ~2 B2 words S times through the relay
+            rw = jax.device_put(rw, self._device)
+            ab = jax.device_put(ab, self._device)
+        if hits and not self.vmap_shards and self.fuse_shards and (
+            self.dev.n_shards > 1
+        ):
+            # fused list program: one dispatch + one fetch for all S
+            # shards (the list-mode answer to r1 weak #6; the stacked
+            # vmap form below OOMs at human scale)
+            lfn = self._packed_fn(kind, k, d, L, compact, hits_output=True,
+                                  level=_level, n_list=self.dev.n_shards)
+            out = lfn(tuple(self.dev.shard), rw, ab)
+            return ("block", block, Bp, k, ("list", out),
+                    time.perf_counter(), "hits", _level)
         if hits and self.backend == "jnp" and self.vmap_shards:
             # all S shards in ONE dispatch (vmap over the stacked shard
             # axis — r1 weak #6: S serial dispatches each paid the
@@ -1472,11 +1516,17 @@ class Engine:
                     for s in range(hc_s.shape[0])
                 ]
             else:
-                per_shard = []
-                for o in shard_outs:
-                    hc, hm, cnt, ov, co, ho, bm, cc = jax.device_get(o)
-                    per_shard.append((hc, hm, int(cnt), int(ov), int(co),
-                                      int(ho), bm, int(cc)))
+                if isinstance(shard_outs, tuple) and shard_outs[0] == "list":
+                    shard_outs = shard_outs[1]  # fused-list dispatch
+                # ONE grouped device_get for every shard's outputs: each
+                # per-shard device_get was a separate blocking relay
+                # round trip (~17 ms fixed latency each)
+                per_shard = [
+                    (hc, hm, int(cnt), int(ov), int(co), int(ho), bm,
+                     int(cc))
+                    for hc, hm, cnt, ov, co, ho, bm, cc in
+                    jax.device_get(list(shard_outs))
+                ]
             bm_or = None
             hit_live = 0
             for hc, hm, cnt, ov, co, ho, bm, cc in per_shard:
