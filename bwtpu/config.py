@@ -100,6 +100,16 @@ class EngineConfig:
     # gathers ~25% fewer rows but its wider records/VPU counts measured
     # ~18% slower end-to-end — available for future hardware.
     occ_step: int = 3
+    # Tiered inexact search (engine.tiered_pipeline_packed): escalated-
+    # read capacity as a fraction of the batch. The tier-2 seed
+    # expansion runs on at most esc_factor * batch escalated lanes;
+    # reads escalated past it are healed / marked like any other
+    # capacity. 1.0 = never binds (every read may escalate — adversarial
+    # all-mismatch batches stay correct, just tiered-slow); production
+    # low-error streams measure ~0.4 escalation at 0.5%/base errors
+    # (bench.py k2_lowerr_escalated_frac), so 0.75 trims the tier-2
+    # footprint with healing as the backstop.
+    esc_factor: float = 1.0
 
     def __post_init__(self):
         if self.occ_block != 128:

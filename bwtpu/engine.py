@@ -921,6 +921,7 @@ class BatchStats:
     compact_overflows: int = 0
     heals: int = 0  # self-healing re-dispatches (doubled-cap retries)
     truncated_reads: int = 0  # reads still capacity-cut after max_heals
+    escalated: int = 0  # tiered dispatch: reads sent to the seed tier
     device_s: float = 0.0
     host_s: float = 0.0
 
@@ -1219,9 +1220,12 @@ class Engine:
         copy of the big tables is materialized (the human-scale OOM —
         Engine vmap_shards docstring)."""
         mh, mc, lf, hf = self._caps(k if kind != "exact" else 0, level)
+        # tiered runs BOTH cap sets: tier 1 at the k=0 caps, tier 2 at
+        # the k caps — both belong in the program cache key
+        caps0 = self._caps(0, level) if kind == "tiered" else None
         key = (
             "packed", kind, k, d, L, compact, hits_output, vmapped,
-            mh, mc, lf, hf, n_list,
+            mh, mc, lf, hf, n_list, caps0,
         )
         if key not in self._compiled:
             cfg, backend = self.config, self.backend
@@ -1236,6 +1240,21 @@ class Engine:
                         min_trips=cfg.min_trips, backend=backend,
                         compact_output=compact, cap_scale=1 << level,
                         wide_steps=ws,
+                    )
+            elif kind == "tiered":
+                assert not hits_output and compact
+                mh0, _, lf0, _ = caps0
+                ws = self._wide_steps(d)
+                d_seed = pick_kmer_depth(self.kmer_depths, L // (k + 1))
+
+                def pipe(shard, rw, ab):
+                    return tiered_pipeline_packed(
+                        shard, rw, ab, L=L, k=k, d=d, d_seed=d_seed,
+                        max_hits=mh0, max_cand=mc, sa_rate=cfg.sa_rate,
+                        loc_factor=lf0, k2_loc_factor=lf,
+                        esc_factor=cfg.esc_factor,
+                        min_trips=cfg.min_trips, backend=backend,
+                        cap_scale=1 << level, wide_steps=ws,
                     )
             else:
 
@@ -1408,11 +1427,22 @@ class Engine:
     # ---- columnar fast path (production FASTQ->SAM, VERDICT r2 #1) ----
 
     def dispatch_block(self, block, k: int | None = None,
-                       pad_to: int | None = None, _level: int = 0):
+                       pad_to: int | None = None, _level: int = 0,
+                       tiered: bool = False):
         """Dispatch a uniform-length columnar ReadBlock (bwtpu.readblock)
         on the packed pipelines. pad_to keeps batch shapes static across
         a stream (one compiled program); pad rows are all-ambiguous so
         they die in the first search step, and finish_block drops them.
+
+        tiered (k > 0 only): exact-first tiered dispatch
+        (tiered_pipeline_packed) — every read runs the cheap full-read
+        exact pass, only reads with no exact hit escalate to the
+        (k+1)-seed expansion. Stratum reporting contract (see the
+        pipeline docstring): escalated reads carry their full <= k set,
+        exact-hit reads their complete nm == 0 stratum; primary/MAPQ
+        identical to full enumeration. Falls back to the full inexact
+        pipeline when the multi-step lattice is absent (full results
+        are a superset of the tiered contract).
 
         _level: self-healing escalation level (caps x 2**_level);
         finish_block re-dispatches on overflow.
@@ -1445,6 +1475,26 @@ class Engine:
             # shipping the same ~2 B2 words S times through the relay
             rw = jax.device_put(rw, self._device)
             ab = jax.device_put(ab, self._device)
+        if tiered and k > 0 and compact:
+            d_full = pick_kmer_depth(self.kmer_depths, L)
+            S = self.dev.n_shards
+            if S > 1 and not self.vmap_shards and self.fuse_shards:
+                lfn = self._packed_fn("tiered", k, d_full, L, True,
+                                      level=_level, n_list=S)
+                out = ("list", lfn(tuple(self.dev.shard), rw, ab))
+            elif S > 1 and self.vmap_shards and self.backend == "jnp":
+                vfn = self._packed_fn("tiered", k, d_full, L, True,
+                                      vmapped=True, level=_level)
+                out = ("stacked", vfn(self.dev.shard, rw, ab))
+            else:
+                fn = self._packed_fn("tiered", k, d_full, L, True,
+                                     level=_level)
+                out = [fn(self._shard_tree(s), rw, ab) for s in range(S)]
+            return ("block", block, Bp, k, out, time.perf_counter(),
+                    "tiered", _level)
+        if tiered and k > 0:
+            log.debug("tiered dispatch unavailable without the multi-step "
+                      "lattice; running the full inexact pipeline")
         if hits and not self.vmap_shards and self.fuse_shards and (
             self.dev.n_shards > 1
         ):
@@ -1564,6 +1614,45 @@ class Engine:
                 self.stats.compact_overflows += hit_over
             t1 = time.perf_counter()
             s_idx, row_idx, p, m = compact_to_columns(shard_comp, k, Ct)
+        elif mode == "tiered":
+            if isinstance(shard_outs, tuple) and shard_outs[0] == "stacked":
+                outs_np = jax.device_get(shard_outs[1])
+                per_shard = [
+                    tuple(np.asarray(o)[s] for o in outs_np)
+                    for s in range(np.asarray(outs_np[0]).shape[0])
+                ]
+            else:
+                if isinstance(shard_outs, tuple) and shard_outs[0] == "list":
+                    shard_outs = shard_outs[1]  # fused-list dispatch
+                per_shard = jax.device_get(list(shard_outs))
+            mh0 = self._caps(0, level)[0]
+            s_l, row_l, p_l, m_l = [], [], [], []
+            compact_over = 0
+            ov_accum = None
+            for s, out in enumerate(per_shard):
+                rows, p_s, m_s, _nov, co_s = tiered_to_columns(
+                    out, mh0, mc, k, Bp
+                )
+                s_l.append(np.full(len(rows), s, dtype=np.int64))
+                row_l.append(rows)
+                p_l.append(p_s)
+                m_l.append(m_s)
+                compact_over += co_s
+                ov = np.asarray(out[10]) > 0
+                ov_accum = ov if ov_accum is None else (ov_accum | ov)
+                self.stats.escalated += int(np.asarray(out[9]))
+            n_over = int(ov_accum.sum())
+            self.stats.device_s += time.perf_counter() - t_disp
+            if (n_over or compact_over) and can_heal:
+                return self._heal_block(block, k, Bp, level, n_over,
+                                        compact_over, tiered=True)
+            if n_over:
+                trunc_rows = np.asarray(ov_accum, dtype=bool)
+            t1 = time.perf_counter()
+            s_idx = np.concatenate(s_l)
+            row_idx = np.concatenate(row_l)
+            p = np.concatenate(p_l)
+            m = np.concatenate(m_l)
         elif mode == "compact":
             shard_comp = []
             n_over = 0
@@ -1653,7 +1742,8 @@ class Engine:
         self.stats.host_s += t2 - t1
         return flat
 
-    def _heal_block(self, block, k, Bp, level, n_over, compact_over):
+    def _heal_block(self, block, k, Bp, level, n_over, compact_over,
+                    tiered=False):
         """Re-dispatch a block with doubled caps (self-healing)."""
         self.stats.heals += 1
         log.info(
@@ -1661,7 +1751,8 @@ class Engine:
             "healing with 2^%d x caps", n_over, compact_over, level + 1,
         )
         return self.finish_block(
-            self.dispatch_block(block, k, pad_to=Bp, _level=level + 1)
+            self.dispatch_block(block, k, pad_to=Bp, _level=level + 1,
+                                tiered=tiered)
         )
 
     def _assemble(self, reads, B, pos, nm, valid, overflow, compact_over, t1):

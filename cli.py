@@ -124,7 +124,8 @@ def _align_block_stream(engine, stream, manifest, args, k, bs, start_batch,
             _save_cursor(cursor_path, bi0 + 1)
 
         for bi, sub in enumerate(stream, start=start_batch):
-            handle = engine.dispatch_block(sub, k, pad_to=bs)
+            handle = engine.dispatch_block(sub, k, pad_to=bs,
+                                           tiered=args.tiered)
             inflight.append((bi, time.time(), sub, ex.submit(process, handle)))
             if len(inflight) > 3:
                 drain_one()
@@ -201,7 +202,8 @@ def _align_ragged_block_stream(engine, gen, manifest, args, k, bs,
             for blk, sub in groups:
                 pad = 1 << max(0, (blk.n - 1).bit_length())
                 handles.append(
-                    (blk, sub, engine.dispatch_block(blk, k, pad_to=pad))
+                    (blk, sub, engine.dispatch_block(blk, k, pad_to=pad,
+                                                     tiered=args.tiered))
                 )
             inflight.append((bi, time.time(), ex.submit(process, handles)))
             if len(inflight) > 2:
@@ -276,7 +278,8 @@ def _align_paired_block_stream(engine, stream1, stream2, manifest, args, k,
             if sub1.n != sub2.n:
                 raise SystemExit("paired files differ in read count")
             handle = engine.dispatch_block(
-                concat_blocks(sub1, sub2), k, pad_to=2 * bs
+                concat_blocks(sub1, sub2), k, pad_to=2 * bs,
+                tiered=args.tiered
             )
             inflight.append(
                 (bi, time.time(), sub1.n, ex.submit(process, sub1, sub2, handle))
@@ -299,6 +302,14 @@ def cmd_align(args):
     from bwtpu.sam import emit_sam, pair_and_emit_sam, sam_header
 
     shards, manifest = load_index(args.index)
+    if getattr(args, "esc_factor", None) is not None:
+        import dataclasses as _dc
+
+        shards = [
+            _dc.replace(s, config=s.config.replace(
+                esc_factor=args.esc_factor))
+            for s in shards
+        ]
     engine = Engine(shards, manifest)
     k = args.k if args.k is not None else shards[0].config.k
     bs = args.batch_size
@@ -472,6 +483,7 @@ def _print_summary(engine, total, t_start):
             "device_s": round(st.device_s, 2), "host_s": round(st.host_s, 2),
             "overflow_reads": st.overflow_reads,
             "compact_overflows": st.compact_overflows,
+            "heals": st.heals, "escalated": st.escalated,
         }),
         file=sys.stderr,
     )
@@ -603,6 +615,16 @@ def main(argv=None):
     a.add_argument("--batch-size", type=int, default=16384)
     a.add_argument("--min-insert", type=int, default=0)
     a.add_argument("--max-insert", type=int, default=1000)
+    a.add_argument("--tiered", action="store_true",
+                   help="exact-first tiered inexact search: only reads "
+                        "with no exact hit escalate to the seed "
+                        "expansion (stratum reporting contract — "
+                        "engine.tiered_pipeline_packed docstring; "
+                        "primary/MAPQ identical to full enumeration). "
+                        "Multiple-x faster on low-error read sets")
+    a.add_argument("--esc-factor", type=float, default=None,
+                   help="tiered: escalated-read capacity as a fraction "
+                        "of the batch (default: index config, 1.0)")
     a.add_argument("--autotune-caps", action="store_true",
                    help="probe the first chunk and size the candidate/"
                         "hit capacities to measured occupancy (healing "

@@ -69,3 +69,24 @@ def test_cli_resume(tmp_path, capsys):
     cli.main(["align", str(idx), str(sim / "reads.fq"), "-o", str(out),
               "-k", "0", "--batch-size", "10", "--resume"])
     assert out.read_text() == full
+
+
+def test_cli_tiered_matches_full(tmp_path):
+    """--tiered primary SAM must be BYTE-IDENTICAL to full enumeration:
+    the nm == 0 stratum is complete and escalated reads carry their
+    full <= k set, so primary choice and MAPQ (best-nm multiplicity —
+    results.select_primary_flat) cannot differ."""
+    sim = tmp_path / "sim"
+    cli.main(["simulate", "--scale", "20000", "-o", str(sim),
+              "--n-reads", "60", "--read-len", "60", "--mismatches", "2",
+              "--seed", "7"])
+    idx = tmp_path / "idx"
+    cli.main(["build-index", str(sim / "ref.fa"), str(idx),
+              "--sa-rate", "4"])
+    out_f = tmp_path / "full.sam"
+    out_t = tmp_path / "tiered.sam"
+    cli.main(["align", str(idx), str(sim / "reads.fq"), "-o", str(out_f),
+              "-k", "2", "--batch-size", "32"])
+    cli.main(["align", str(idx), str(sim / "reads.fq"), "-o", str(out_t),
+              "-k", "2", "--batch-size", "32", "--tiered"])
+    assert out_t.read_bytes() == out_f.read_bytes()

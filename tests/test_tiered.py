@@ -122,3 +122,74 @@ def test_tiered_esc_capacity_overflow_is_counted():
     )
     esc_cnt = int(np.asarray(out[9]))
     assert esc_cnt == 32  # all escalated, capacity = max(4096,...) holds all
+
+
+# ---- Engine-level tiered dispatch (round 5: tiered through the block
+# path / CLI, not just the bare pipeline) ----
+
+
+def _stratum_check(golden, reads, lists, k):
+    """Assert the tiered reporting contract; returns escalated count."""
+    n_esc = 0
+    for r, hs in zip(reads, lists):
+        g0 = golden.align_read(r.seq, k=0)
+        gk = golden.align_read(r.seq, k=k)
+        assert [h for h in hs if h.nm == 0] == g0, r.rid
+        assert {(h.pos, h.strand, h.nm) for h in hs} <= {
+            (h.pos, h.strand, h.nm) for h in gk}, r.rid
+        if not g0:
+            assert hs == gk, (r.rid, hs, gk)
+            n_esc += 1
+    return n_esc
+
+
+@pytest.mark.parametrize("mode", ["single", "fused", "stacked"])
+def test_engine_tiered_dispatch(mode):
+    """dispatch_block(tiered=True) through every multi-shard dispatch
+    form: single shard, unstacked fused-list, stacked vmap."""
+    from bwtpu.engine import Engine
+    from bwtpu.index import build_sharded_index
+    from bwtpu.readblock import ReadBlock
+    from bwtpu.results import hit_lists
+
+    genome = random_genome(30_000, seed=41)
+    cfg = EngineConfig(sa_rate=4, max_hits=8, max_cand=8, read_len=60,
+                       loc_factor=2, min_trips=1)
+    reads, _ = simulate_reads(genome, 32, read_len=60, max_mismatches=2,
+                              seed=42)
+    if mode == "single":
+        eng = Engine([build_fm_index(genome, cfg)])
+    else:
+        shards, man = build_sharded_index(genome, 3, config=cfg,
+                                          overlap=64)
+        eng = Engine(shards, man, vmap_shards=(mode == "stacked"))
+    blk = ReadBlock.from_reads(reads)
+    handle = eng.dispatch_block(blk, 2, pad_to=32, tiered=True)
+    assert handle[6] == "tiered"
+    flat = eng.finish_block(handle)
+    golden = GoldenFMIndex(genome)
+    n_esc = _stratum_check(golden, reads, hit_lists(flat), 2)
+    assert n_esc > 0 and eng.stats.escalated > 0
+
+
+def test_engine_tiered_healing():
+    """Binding caps on a repeat-rich genome: tiered dispatch must heal
+    (re-dispatching THROUGH the tiered path) and still satisfy the
+    stratum contract."""
+    from bwtpu.engine import Engine
+    from bwtpu.readblock import ReadBlock
+    from bwtpu.results import hit_lists
+
+    base = random_genome(3000, seed=43)
+    rep = base[:120] * 5 + base
+    cfg = EngineConfig(sa_rate=4, max_hits=2, max_cand=2, read_len=50,
+                       loc_factor=0.5, min_trips=1, max_heals=6)
+    eng = Engine([build_fm_index(rep, cfg)])
+    reads, _ = simulate_reads(rep, 16, read_len=50, max_mismatches=1,
+                              seed=44)
+    blk = ReadBlock.from_reads(reads)
+    flat = eng.finish_block(
+        eng.dispatch_block(blk, 2, pad_to=16, tiered=True))
+    assert eng.stats.heals >= 1, "binding caps were meant to trigger healing"
+    golden = GoldenFMIndex(rep)
+    _stratum_check(golden, reads, hit_lists(flat), 2)
