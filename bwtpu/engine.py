@@ -947,13 +947,16 @@ class Engine:
         # fuse_shards (list mode only): trace ALL per-shard programs
         # into ONE jitted function (tuple of shard trees as arguments —
         # no stacked copy, so none of the vmap relayout OOM), so an
-        # S-shard block costs ONE dispatch + ONE fetch instead of S
-        # round trips through the relay (~17 ms fixed latency each —
-        # DESIGN.md "human-scale locate rebuild" measured-ceiling note).
-        self.fuse_shards = (
-            (not vmap_shards and len(shards) > 1)
-            if fuse_shards is None else fuse_shards
-        )
+        # S-shard block costs ONE dispatch + ONE fetch instead of S.
+        # Measured A/B at human scale (2.5 Gbp / 10 shards, DESIGN.md
+        # "fused dispatch A/B"): no win over the per-shard loop once the
+        # loop ships ONE H2D of the packed reads and ONE grouped fetch
+        # (exact 46.0 vs 46.2 K reads/s; k2 -4%), while the 10-program
+        # XLA compile adds minutes — async dispatches already overlap
+        # through the relay. Default OFF; the path stays suite-covered
+        # (tests/test_unstacked.py) for transports where dispatch
+        # latency does serialize.
+        self.fuse_shards = False if fuse_shards is None else fuse_shards
         self.kmer_depths = sorted(shards[0].kmer_tables)
         self.stats = BatchStats()
         # vmap_shards=False: dispatch one program per shard instead of

@@ -46,9 +46,11 @@ def main():
                          "before recording final numbers)")
     ap.add_argument("--exact-lf", type=float, default=1.0)
     ap.add_argument("--k2-lf", type=float, default=6.0)
-    ap.add_argument("--no-fuse", action="store_true",
-                    help="A/B: per-shard dispatch loop instead of the "
-                         "fused one-dispatch list program")
+    ap.add_argument("--fuse", action="store_true",
+                    help="A/B: fused one-dispatch list program instead "
+                         "of the per-shard dispatch loop (measured no "
+                         "win on the relay — DESIGN.md fused dispatch "
+                         "A/B)")
     args = ap.parse_args()
 
     import jax
@@ -100,7 +102,7 @@ def main():
         # the big tables and OOMs HBM at this scale (engine.Engine
         # docstring)
         return Engine(sh, manifest, vmap_shards=False,
-                      fuse_shards=not args.no_fuse)
+                      fuse_shards=args.fuse)
 
     t0 = time.time()
     eng = engine_with(args.exact_lf)
@@ -204,7 +206,7 @@ def main():
     out["heals"] = eng.stats.heals
     out["batch"] = args.batch
     out["k2_batch"] = args.k2_batch
-    out["fused_dispatch"] = not args.no_fuse
+    out["fused_dispatch"] = args.fuse
     out["total_s"] = round(time.time() - t_all, 1)
     print(json.dumps(out))
 
