@@ -926,8 +926,25 @@ class BatchStats:
     host_s: float = 0.0
 
 
+def _index_arrays(s):
+    """Host-resident array leaves of one FMIndex shard (size probe for
+    the stacked-vmap auto mode)."""
+    arrs = [s.search_lattice, s.mark_rank_ck, s.ssa, s.text_packed]
+    arrs += list(s.kmer_tables.values())
+    if s.occk_lattice is not None:
+        arrs.append(s.occk_lattice)
+    return arrs
+
+
 class Engine:
     """Single-process alignment engine over one or more index shards."""
+
+    # stacked-vmap residency limit: above this total table size the
+    # stacked form's batched gathers force relayout COPIES of the big
+    # tables at compile (measured OOM by ~11 GB at 10 x 250 Mbp on a
+    # 16 GB v5e — DESIGN.md "human-scale on-chip"), so auto mode
+    # switches to axis-free per-shard dispatch well before that
+    VMAP_STACK_MAX_BYTES = 2 << 30
 
     def __init__(
         self,
@@ -935,13 +952,25 @@ class Engine:
         manifest: ShardManifest | None = None,
         backend: str | None = None,
         device=None,
-        vmap_shards: bool = True,
+        vmap_shards: bool | None = None,
         fuse_shards: bool | None = None,
     ):
         self.shards = shards
         self.manifest = manifest
         self.config = shards[0].config
         self.backend = backend or default_backend()
+        if vmap_shards is None:
+            # auto: stacked vmap (one dispatch for all shards) until the
+            # tables are big enough that its relayout copies would OOM —
+            # a user aligning against a human-scale artifact through
+            # cli.py must land in list mode without knowing the flag
+            table_bytes = sum(
+                a.nbytes for s in shards
+                for a in _index_arrays(s)
+            )
+            vmap_shards = not (
+                len(shards) > 1 and table_bytes > self.VMAP_STACK_MAX_BYTES
+            )
         self.dev = upload_index(shards, device=device, stacked=vmap_shards)
         self._device = device
         # fuse_shards (list mode only): trace ALL per-shard programs

@@ -94,3 +94,17 @@ def test_unstacked_autotune(setup):
     flat = eng.finish_block(eng.dispatch_block(blk, 2, pad_to=32))
     for r, hs in zip(reads, hit_lists(flat)):
         assert hs == golden.align_read(r.seq, k=2), r.rid
+
+
+def test_vmap_auto_mode(setup, monkeypatch):
+    """Engine(vmap_shards=None) must auto-select list mode when the
+    resident tables exceed the stacked-vmap budget — a user aligning a
+    human-scale artifact through cli.py (which passes no flag) must
+    never hit the stacked relayout OOM."""
+    _genome, shards, manifest, _reads = setup
+    assert Engine(shards, manifest).vmap_shards  # small: stacked
+    monkeypatch.setattr(Engine, "VMAP_STACK_MAX_BYTES", 1)
+    eng = Engine(shards, manifest)
+    assert not eng.vmap_shards and isinstance(eng.dev.shard, list)
+    # explicit flags still win over auto
+    assert Engine(shards, manifest, vmap_shards=True).vmap_shards
