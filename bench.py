@@ -489,6 +489,16 @@ def main():
                                     max_mismatches=2, seed=100 + i)
             for r in rds:
                 f.write(f"@{r.rid}.{i}\n{r.seq}\n+\n{'I' * L}\n")
+    # low-error (0.5%/base) FASTQ: the production-like profile where
+    # tiered e2e shows its win (flat k2 on the SAME file for the ratio)
+    fq_le_path = _os.path.join(e2e_dir, "reads_le.fq")
+    with open(fq_le_path, "w") as f:
+        for i in range(n_e2e):
+            rds, _ = simulate_reads(genome, Bc, read_len=L,
+                                    max_mismatches=2, seed=500 + i,
+                                    error_rate=0.005)
+            for r in rds:
+                f.write(f"@{r.rid}.{i}\n{r.seq}\n+\n{'I' * L}\n")
     # paired FASTQ pair (config 5 shape): Bc/2 pairs per chunk so the
     # stacked two-mate dispatch stays at Bc rows
     Bcp = Bc // 2
@@ -504,23 +514,28 @@ def main():
                 f2.write(f"@{r2.rid}.{i}\n{r2.seq}\n+\n{'I' * L}\n")
     timings["e2e_setup_s"] = round(time.time() - t0, 1)
 
-    def e2e_single(k, lf_ceiling):
+    def e2e_single(k, lf_ceiling, fq=None, tiered=False):
         """FASTQ -> SAM the way cli.py align runs it: chunk-prefetched
         columnar parse, packed dispatch (pipelined), one-round-trip hit
-        fetch, vectorized primary, C SAM formatter.
+        fetch, vectorized primary, C SAM formatter. tiered=True runs
+        the exact-first/escalate dispatch (cli.py align --tiered).
 
         Capacities are OCCUPANCY-ADAPTIVE (VERDICT r4 item 3): the
         engine starts at a generic lf_ceiling, autotune_caps observes
         the candidate-stage live fraction on the warm batch and
         tightens loc_factor to the ladder value just above it; healing
         absorbs any batch that beats the thin margin."""
+        fq = fq or fq_path
         eng = Engine([_dc.replace(idx, config=cfg.replace(
             loc_factor=lf_ceiling, k=k, min_trips=1, hit_factor=0.5))])
-        warm = read_fastq_block(fq_path)
+        warm = read_fastq_block(fq)
         wslice = warm.slice(0, Bc)
         eng.autotune_caps(wslice, k, pad_to=Bc)
+        if tiered:  # tier 1 runs at the k=0 caps — tune those too
+            eng.autotune_caps(wslice, 0, pad_to=Bc)
         # warm the tuned program so the timed loop never compiles
-        eng.finish_block(eng.dispatch_block(wslice, k, pad_to=Bc))
+        eng.finish_block(
+            eng.dispatch_block(wslice, k, pad_to=Bc, tiered=tiered))
         del warm, wslice
         ex = ThreadPoolExecutor(max_workers=1)
 
@@ -531,6 +546,7 @@ def main():
         sam_path = _os.path.join(e2e_dir, f"out{k}.sam")
         t0 = time.time()
         n_reads = 0
+        eng.stats.escalated = 0
         with open(sam_path, "wb") as out:
             out.write(sam_header(idx.contigs).encode())
             inflight = []
@@ -541,10 +557,10 @@ def main():
                 out.write(emit_single(sub, prim, ctable,
                                       truncated=flat.truncated))
 
-            _n, _L_s, stream = read_fastq_stream(fq_path, Bc)
+            _n, _L_s, stream = read_fastq_stream(fq, Bc)
             for sub in stream:
                 n_reads += sub.n
-                h = eng.dispatch_block(sub, k, pad_to=Bc)
+                h = eng.dispatch_block(sub, k, pad_to=Bc, tiered=tiered)
                 inflight.append((sub, ex.submit(process, h)))
                 if len(inflight) > 2:
                     drain()
@@ -556,7 +572,7 @@ def main():
         mb = _os.path.getsize(sam_path) / 1e6
         _os.remove(sam_path)
         return (n_reads / wall, wall, n_reads, mb, over, eng.stats.heals,
-                eng._lf(k))
+                eng._lf(k), eng.stats.escalated / max(n_reads, 1))
 
     def e2e_paired(k, lf_ceiling):
         """Paired FASTQ pair -> SAM (cli.py align --paired path): both
@@ -614,10 +630,14 @@ def main():
     # generic ceilings (the config defaults a user would start from);
     # autotune_caps tightens them from measured occupancy
     (e2e_rps, e2e_s, n_reads_e2e, sam_mb, e2e_over, e2e_heals,
-     e2e_lf_tuned) = e2e_single(0, 2)
+     e2e_lf_tuned, _) = e2e_single(0, 2)
     e2e_k2 = e2e_single(2, 4)
     e2e_pe = e2e_paired(2, 4)
-    for p in (fq_path, fq1_path, fq2_path):
+    # tiered e2e on the low-error profile, flat k2 on the same file:
+    # the production-path version of the device-rate tiered comparison
+    e2e_k2_le = e2e_single(2, 4, fq=fq_le_path)
+    e2e_k2t_le = e2e_single(2, 4, fq=fq_le_path, tiered=True)
+    for p in (fq_path, fq_le_path, fq1_path, fq2_path):
         _os.remove(p)
     _os.rmdir(e2e_dir)
 
@@ -732,6 +752,12 @@ def main():
             "e2e_paired_wall_s": round(e2e_pe[1], 2),
             "e2e_paired_reads": e2e_pe[2],
             "e2e_paired_overflows": int(e2e_pe[4]),
+            "e2e_k2_lowerr_reads_per_s": round(e2e_k2_le[0], 1),
+            "e2e_k2_tiered_lowerr_reads_per_s": round(e2e_k2t_le[0], 1),
+            "e2e_tiered_lowerr_speedup": round(
+                e2e_k2t_le[0] / max(e2e_k2_le[0], 1e-9), 2),
+            "e2e_tiered_escalated_frac": round(e2e_k2t_le[7], 3),
+            "e2e_tiered_overflows": int(e2e_k2t_le[4]),
             "multihost_2proc_cpu_reads_per_s": (
                 round(mh_rps, 1) if mh_rps else None),
             "multihost_2proc_reads": mh_reads,
